@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same
+builder (minus master) is used via ``spark-submit --py-files``. The
+shuffle-partition count tracks parallelism so the frontier's
+per-shard operators neither underfill cores nor fragment into tiny
+tasks; AQE handles runtime coalescing and skew splits on top.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_pythonpath() -> None:
+    """Python workers are separate processes: they must be able to import
+    crusty_spark even when the driver wasn't launched from the repo.
+    Local mode inherits PYTHONPATH; real clusters get the zip via
+    ``--py-files`` (ship_package_zip)."""
+    root = _package_root()
+    pp = os.environ.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
+
+
+def ship_package_zip(spark: SparkSession) -> str:
+    """Zip crusty_spark and addPyFile it — the spark-submit --py-files
+    equivalent for sessions created programmatically (works on real
+    multi-executor clusters, not just local mode)."""
+    root = _package_root()
+    tmp = tempfile.mkdtemp(prefix="crusty_spark_pyfiles_")
+    zip_base = os.path.join(tmp, "crusty_spark")
+    path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="crusty_spark")
+    spark.sparkContext.addPyFile(path)
+    return path
+
+
+def get_spark(
+    app: str = "crusty_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    _ensure_pythonpath()
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism, 8)
+    b = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("CRUSTY_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

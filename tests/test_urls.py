@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crusty_spark import urls as U
+
+
+def test_column_layer_matches_python_twins(spark):
+    samples = [
+        "http://example.com/",
+        "http://WWW.Example.COM/path?q=1",
+        "https://sub.site.io/a/b",
+        "http://www.x.org/",
+        "not-a-url",
+    ]
+    df = U.with_frontier_identity(
+        spark.createDataFrame([(s,) for s in samples], ["url"]), shard_total=4
+    )
+    for r in df.collect():
+        host = U.py_host_of(r.url)
+        if host is None:
+            assert r.domain is None
+            continue
+        dom = U.py_strip_www(host)
+        assert r.domain == dom
+        assert r.tld == U.py_tld_of(dom)
+        assert r.addr_key == U.py_addr_key_of(dom)
+        assert r.shard == U.py_shard_of(r.addr_key, 4)
+
+
+def test_addr_key_is_slash24_bucket():
+    # two domains whose synthetic IPs share a /24 must share addr_key
+    d1 = "a.example.com"
+    ip1 = U.py_synth_ip32(d1)
+    # find a sibling by brute force over suffixes (deterministic scan)
+    sib = None
+    for i in range(200000):
+        d2 = f"b{i}.example.com"
+        if U.py_synth_ip32(d2) >> 8 == ip1 >> 8:
+            sib = d2
+            break
+    if sib is not None:
+        assert U.py_addr_key_of(d1) == U.py_addr_key_of(sib)
+
+
+CANON_CASES = [
+    ("http://a.com/x/y", "z", "http://a.com/x/z"),
+    ("http://a.com/x/y/", "z", "http://a.com/x/y/z"),
+    ("http://a.com/x/y", "/abs", "http://a.com/abs"),
+    ("http://a.com/x/y", "//other.com/p", "http://other.com/p"),
+    ("https://a.com/x", "//other.com/p", "https://other.com/p"),
+    ("http://a.com/x/y", "HTTP://B.COM/Q?a=1#frag", "http://b.com/Q?a=1"),
+    ("http://a.com/", "http://b.com:80/p", "http://b.com/p"),
+    ("http://a.com/", "https://b.com:443/p", "https://b.com/p"),
+    ("http://a.com/d1/d2/page", "../up", "http://a.com/d1/up"),
+    ("http://a.com/d1/d2/page", "./here", "http://a.com/d1/d2/here"),
+    ("http://a.com", "p", "http://a.com/p"),
+    ("http://a.com/x", "http://plain.com", "http://plain.com/"),
+]
+
+
+def test_canonicalize_cases():
+    base = pd.Series([b for b, _, _ in CANON_CASES])
+    href = pd.Series([h for _, h, _ in CANON_CASES])
+    got = U.canonicalize_series(href, base)
+    for (b, h, want), g in zip(CANON_CASES, got):
+        assert g == want, f"base={b} href={h}: got {g} want {want}"
+
+
+def test_canonicalize_idempotent():
+    base = pd.Series([b for b, _, _ in CANON_CASES])
+    href = pd.Series([h for _, h, _ in CANON_CASES])
+    once = U.canonicalize_series(href, base)
+    twice = U.canonicalize_series(once, base)
+    assert list(once) == list(twice)
+
+
+_seg = st.text(alphabet="abcxyz09", min_size=1, max_size=5)
+
+
+@given(
+    host=st.builds(lambda a, b: f"{a}.{b}.com", _seg, _seg),
+    basepath=st.lists(_seg, max_size=3),
+    href=st.one_of(
+        st.builds(lambda s: "/" + "/".join(s), st.lists(_seg, min_size=1, max_size=3)),
+        st.builds(lambda s: "/".join(s), st.lists(_seg, min_size=1, max_size=3)),
+        st.builds(lambda h, s: f"http://{h}/" + "/".join(s), _seg, st.lists(_seg, max_size=2)),
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_canonicalize_matches_urljoin(host, basepath, href):
+    base = f"http://{host}/" + "/".join(basepath)
+    got = U.canonicalize_series(pd.Series([href]), pd.Series([base]))[0]
+    want = urljoin(base, href)
+    if want.startswith(("http://", "https://")) and "/" not in want.split("://", 1)[1]:
+        want += "/"
+    assert got == want
