@@ -1,0 +1,348 @@
+"""The crawl loop: micro-batch epochs over checkpointed state tables.
+
+Architecture (SURVEY §7): a driver-side loop, one epoch = one
+micro-batch. The frontier is its own feedback loop (epoch k's output
+is epoch k+1's input), which Structured Streaming cannot express as a
+single query; an explicit loop with a snapshot commit per epoch gives
+exact resumability instead (north_rule). Each epoch's state is written
+to ``{checkpoint}/epoch={e}/<table>.parquet`` plus a ``manifest.json``;
+reloading from disk every epoch also truncates the logical-plan
+lineage, which would otherwise grow unboundedly in an iterative job.
+
+The epoch dataflow mirrors the reference wiring (crusty.rs:514-592):
+
+  dequeue (lease)  ->  token-bucket allowance  ->  fetch+parse
+     -> mark done -> internal links re-enqueue -> discovery (bloom gate)
+     -> finish (release lease, seen-commit, link-hit emit) -> metrics
+
+On a real cluster each state table is an Iceberg table partitioned by
+``shard`` and the snapshot commit is an Iceberg snapshot; the parquet
+layout here is the sandbox stand-in with identical semantics (atomic
+via write-then-rename of the manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import bloom as B
+from . import fetch as FE
+from . import frontier as FR
+from . import topk as TK
+from .fixtures import robots_df as default_robots
+from .fixtures import tld_whitelist_df
+from .frontier import CrawlConfig
+
+DOMAIN_LINKS_SCHEMA = "domain string, shard int, linked string"
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    dequeued: int
+    fetched: int
+    enqueued_tasks: int
+    discovered_domains: int
+    finished: int
+    queued_after: int
+    took_s: float
+
+
+class Crawler:
+    """Owns the state tables + the epoch loop. All state transforms are
+    module-level pure functions (frontier.py / fetch.py / bloom.py /
+    topk.py); this class only sequences them and persists snapshots."""
+
+    TABLES = ("frontier", "leases", "job_state", "seen_bloom", "domain_links", "domain_hits")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        images: DataFrame,
+        n_images: int,
+        checkpoint_dir: str,
+        cfg: CrawlConfig | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.images = images
+        self.n_images = n_images
+        self.ckpt = checkpoint_dir
+        self.robots = robots
+        self.tlds = tld_whitelist_df(spark)
+        self.epoch = 0
+        self.state: dict[str, DataFrame] = {}
+        self.metrics_rows: list[dict] = []
+
+    # ----- state bootstrap / persistence --------------------------------
+
+    def init_empty(self) -> None:
+        s = self.spark
+        self.state = {
+            "frontier": FR.empty_frontier(s),
+            "leases": FR.empty_leases(s),
+            "job_state": FR.empty_job_state(s),
+            "seen_bloom": B.empty_bloom(s),
+            "domain_links": s.createDataFrame([], DOMAIN_LINKS_SCHEMA),
+            "domain_hits": TK.empty_hits(s),
+        }
+        self.epoch = 0
+
+    def seed(self, seed_urls: list[str]) -> None:
+        """send_seed_jobs analog (crusty.rs:491-512): host-less URLs are
+        skipped; seeds enter the frontier at depth 0."""
+        raw = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
+        tasks = FR.identity_for_urls(raw, self.cfg)
+        if self.robots is None:
+            doms = [r.domain for r in tasks.select("domain").distinct().collect()]
+            self.robots = default_robots(self.spark, doms)
+        tasks = FE.robots_blocked_col(tasks, self.robots)
+        self.state["frontier"] = FR.enqueue_tasks(self.state["frontier"], tasks, epoch=0)
+
+    def _extend_robots(self, new_domains: DataFrame) -> None:
+        """Sandbox stand-in for fetching robots.txt of newly discovered
+        domains (S6): rules are a deterministic function of the domain
+        (fixtures.robots_rules_for), synthesized batch-wise."""
+        import pandas as pd
+
+        from .fixtures import ROBOTS_SCHEMA, robots_rules_for
+
+        def gen(batches):
+            for pdf in batches:
+                rows = [(d, *robots_rules_for(d)) for d in pdf["domain"]]
+                yield pd.DataFrame(rows, columns=ROBOTS_SCHEMA.fieldNames())
+
+        fresh = (
+            new_domains.select("domain")
+            .join(self.robots.select("domain"), "domain", "left_anti")
+            .mapInPandas(gen, ROBOTS_SCHEMA)
+        )
+        self.robots = self.robots.unionByName(fresh)
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.ckpt, f"epoch={epoch:06d}")
+
+    def checkpoint(self) -> None:
+        d = self._epoch_dir(self.epoch)
+        for name in self.TABLES:
+            self.state[name].write.mode("overwrite").parquet(os.path.join(d, name))
+        self.robots.write.mode("overwrite").parquet(os.path.join(d, "robots"))
+        manifest = {"epoch": self.epoch, "tables": list(self.TABLES)}
+        tmp = os.path.join(self.ckpt, "_manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.ckpt, "manifest.json"))
+        # reload from disk: snapshot isolation + lineage truncation
+        for name in self.TABLES:
+            self.state[name] = self.spark.read.schema(self.state[name].schema).parquet(
+                os.path.join(d, name)
+            )
+        self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
+
+    def resume(self) -> None:
+        with open(os.path.join(self.ckpt, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.epoch = manifest["epoch"]
+        d = self._epoch_dir(self.epoch)
+        self.init_empty()
+        self.epoch = manifest["epoch"]
+        for name in self.TABLES:
+            schema = self.state[name].schema
+            self.state[name] = self.spark.read.schema(schema).parquet(os.path.join(d, name))
+        self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
+
+    # ----- the epoch ----------------------------------------------------
+
+    def run_epoch(self) -> EpochStats:
+        t0 = time.monotonic()
+        cfg, epoch = self.cfg, self.epoch + 1
+        st = self.state
+        frontier, leases, job_state = st["frontier"], st["leases"], st["job_state"]
+
+        # J4 lease TTL expiry: dead nodes' work re-exposed (lib.rs:133-141)
+        live = leases.filter(F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch))
+
+        # S2/J2/J3/O2: dequeue under politeness
+        new_leases = FR.dequeue(frontier, live, job_state, epoch, cfg)
+        leases = live.unionByName(new_leases).cache()
+        n_dequeued = new_leases.count()
+
+        # token-bucket allowance for every live lease
+        allow = FR.allowance(job_state, leases, self.robots, epoch, cfg).cache()
+
+        # S4: fetch + parse
+        tasks = FR.select_fetch_tasks(frontier, allow, cfg).cache()
+        parsed = FE.fetch_and_parse(tasks, self.images, self.n_images).cache()
+        n_fetched = parsed.count()
+
+        # mark fetched tasks done. The running frontier is referenced by
+        # many downstream branches (enqueue anti-joins, discovery 'known',
+        # finish counts): localCheckpoint truncates the shared subtree so
+        # the epoch's plan stays bounded (durable state is the per-epoch
+        # parquet snapshot, so this is a pure plan-size optimization).
+        fetched_keys = tasks.select("domain", "url_hash")
+        still_queued = frontier.join(fetched_keys, ["domain", "url_hash"], "left_anti")
+        done_rows = frontier.join(fetched_keys, ["domain", "url_hash"], "left_semi").withColumn(
+            "state", F.lit("done")
+        )
+        frontier = still_queued.unionByName(done_rows).localCheckpoint()
+
+        # job_state merge: spend tokens, bump page counts
+        per_domain = parsed.groupBy("domain").agg(F.count("*").alias("n_fetched"))
+        updated = (
+            allow.join(per_domain, "domain", "left")
+            .withColumn("n_fetched", F.coalesce("n_fetched", F.lit(0)))
+            .select(
+                "domain",
+                "shard",
+                (F.col("pages_crawled") + F.col("n_fetched")).cast("int").alias("pages_crawled"),
+                (F.col("tokens") - F.col("n_fetched")).alias("tokens"),
+                F.col("last_refill_epoch"),
+                F.col("finished"),
+            )
+        )
+        job_state = job_state.join(updated.select("domain"), "domain", "left_anti").unionByName(
+            updated
+        )
+
+        # F5-F10: internal link expansion -> re-enqueue
+        internal = FE.expand_internal_links(parsed, cfg.links_per_page, cfg.max_depth)
+        internal_tasks = FR.identity_for_urls(internal, cfg, depth_col="depth")
+        internal_tasks = FE.robots_blocked_col(internal_tasks, self.robots)
+        frontier = FR.enqueue_tasks(frontier, internal_tasks, epoch).localCheckpoint()
+
+        # F11/J1/J7: discovery -> bloom gate -> new jobs
+        disc = FE.discovery_candidates(parsed, self.tlds)
+        disc_id = FR.identity_for_urls(
+            disc.select(F.concat(F.lit("http://"), F.col("domain"), F.lit("/")).alias("url")),
+            cfg,
+        )
+        # never re-discover a domain that's already a job or already seen
+        known = frontier.select("domain").distinct()
+        disc_id = disc_id.join(known, "domain", "left_anti")
+        disc_id = B.bloom_filter_unseen(st["seen_bloom"], disc_id, "domain").cache()
+        n_disc = disc_id.count()
+        if n_disc:
+            self._extend_robots(disc_id)
+        disc_id = FE.robots_blocked_col(disc_id, self.robots)
+        frontier = FR.enqueue_tasks(frontier, disc_id, epoch).localCheckpoint()
+
+        # link-graph state: per-job linked-domain set (rules.rs:12-48,
+        # F13 self-link suppression happens in discovery_candidates)
+        new_links = (
+            parsed.select(
+                F.col("domain"), F.explode("external_domains").alias("linked")
+            )
+            .filter(F.col("linked") != F.col("domain"))
+            .distinct()
+            .join(
+                leases.select("domain", "shard"), "domain", "left"
+            )
+            .select("domain", F.coalesce("shard", F.lit(0)).alias("shard"), "linked")
+        )
+        domain_links = st["domain_links"].unionByName(new_links).distinct()
+
+        # finish: release leases, seen-commit, link-hit emit
+        done = FR.finish_domains(frontier, leases, updated, epoch, cfg).cache()
+        n_finished = done.count()
+        leases_next = leases.join(done.select("domain"), "domain", "left_anti")
+        job_state = (
+            job_state.alias("js")
+            .join(done.select("domain").withColumn("fin", F.lit(True)), "domain", "left")
+            .select(
+                "domain",
+                "shard",
+                "pages_crawled",
+                "tokens",
+                "last_refill_epoch",
+                (F.coalesce("fin", F.lit(False)) | F.col("finished")).alias("finished"),
+            )
+        )
+        seen_bloom = st["seen_bloom"]
+        if n_finished:
+            seen_bloom = B.bloom_insert(
+                seen_bloom, done.select("shard", F.col("domain").alias("name")),
+                **cfg.bloom_kwargs(),
+            )
+            # A1/A2: hits = 1 per finished job + 1 per linked domain
+            finished_links = domain_links.join(done.select("domain"), "domain", "left_semi")
+            job_hits = done.select(F.col("domain").alias("d"))
+            link_hits = finished_links.select(F.col("linked").alias("d"))
+            counts = (
+                job_hits.unionByName(link_hits)
+                .groupBy("d")
+                .agg(F.count("*").cast("double").alias("hits"))
+                .select(
+                    F.upper(F.element_at(F.split("d", r"\."), -1)).alias("tld"),
+                    F.col("d").alias("domain"),
+                    "hits",
+                )
+            )
+            st["domain_hits"] = TK.add_hits(st["domain_hits"], counts, epoch, cfg.topk_decay)
+            domain_links = domain_links.join(done.select("domain"), "domain", "left_anti")
+
+        n_enq = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).count()
+
+        self.state.update(
+            frontier=frontier,
+            leases=leases_next,
+            job_state=job_state,
+            seen_bloom=seen_bloom,
+            domain_links=domain_links,
+        )
+        self.epoch = epoch
+        self.checkpoint()
+
+        took = time.monotonic() - t0
+        stats = EpochStats(
+            epoch=epoch,
+            dequeued=n_dequeued,
+            fetched=n_fetched,
+            enqueued_tasks=0,
+            discovered_domains=n_disc,
+            finished=n_finished,
+            queued_after=n_enq,
+            took_s=took,
+        )
+        # metrics_queue/metrics_db analog rows (init.sql:7-24)
+        self.metrics_rows.append(
+            {
+                "epoch": epoch,
+                "dequeued": n_dequeued,
+                "fetched": n_fetched,
+                "discovered": n_disc,
+                "finished": n_finished,
+                "queued": n_enq,
+                "took_ms": int(took * 1000),
+            }
+        )
+        for df in (leases, allow, tasks, parsed, done):
+            df.unpersist()
+        return stats
+
+    def run(self, n_epochs: int, stop_when_idle: bool = True) -> list[EpochStats]:
+        out = []
+        for _ in range(n_epochs):
+            s = self.run_epoch()
+            out.append(s)
+            if stop_when_idle and s.fetched == 0 and s.queued_after == 0:
+                break
+        return out
+
+    # ----- inspection helpers -------------------------------------------
+
+    def fetched_urls(self) -> DataFrame:
+        return self.state["frontier"].filter(F.col("state") == "done").select("url")
+
+    def seen_domains_exact(self) -> DataFrame:
+        return self.state["job_state"].filter(F.col("finished")).select("domain")
+
+    def topk(self, k: int | None = None) -> DataFrame:
+        return TK.topk(self.state["domain_hits"], k or self.cfg.topk_k)

@@ -1,0 +1,356 @@
+"""The frontier state machine: enqueue / dequeue / finish.
+
+Re-expresses the reference's Redis smart-queue module
+(workspace/redis-queue/src/lib.rs:29-197) as DataFrame transforms over
+state tables. JOB = domain, TASK = page URL (conf/default.yaml:1-4).
+
+State tables (schemas below; persisted per epoch by crawler.py):
+- ``frontier`` — URL tasks, state in {'queued','done'}; replaces the
+  ``in-flight-{N}/domains_by_addr_key`` buckets (lib.rs:21-27)
+- ``leases``  — (addr_key, domain, lease_epoch, ttl); replaces the
+  ``in-processing-{N}/{addr_key}`` SET..EX politeness lock
+  (lib.rs:133-141)
+- ``job_state`` — per-domain cumulative page count + token bucket;
+  realizes TotalPageBudget (rules.rs:67) and the per-domain
+  concurrency/delay politeness (conf/default.yaml:199-207)
+- ``seen_bloom`` — crusty's ``in-history`` Bloom (lib.rs:187-194),
+  see bloom.py
+
+Scheduling semantics (deterministic refinement of SPOP, SURVEY §2.6 O3):
+per epoch, at most ONE domain per addr_key is leased (lib.rs:89-99 —
+the "max 1 in-flight per /24" politeness core), chosen as
+argmin(priority, domain). The argmin is computed as a salted TWO-PHASE
+min aggregation instead of a window: a hot addr_key (thousands of
+domains on one /24) never lands on a single task, which is the
+explicit skew handling the north_rule demands. Both phases are
+map-side-combinable hash aggregations — no sort, no window state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from . import urls as U
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Tunables, defaults mirroring conf/default.yaml of the reference."""
+
+    shard_total: int = 16  # conf: shard_total (default.yaml:38)
+    dequeue_limit: int = 10_000  # per-shard domains/epoch (default.yaml:83)
+    domain_concurrency: int = 2  # pages per domain per epoch (default.yaml:202)
+    lease_ttl_epochs: int = 10  # job hard timeout analog (default.yaml:84-87)
+    max_depth: int = 25  # PageLevel (default.yaml:192)
+    page_budget: int = 1000  # TotalPageBudget (default.yaml:188)
+    links_per_page: int = 100  # LinkPerPageBudget (default.yaml:190)
+    seen_capacity: int = 10_000_000  # bloom capacity (default.yaml:71)
+    seen_err: float = 0.001  # bloom error (default.yaml:73)
+    seen_expansion: int = 2  # bloom expansion (default.yaml:75)
+    topk_k: int = 100  # topk.options.k (default.yaml:174)
+    topk_decay: float = 0.92  # topk decay (default.yaml:177)
+    salt_buckets: int = 16  # two-phase argmin fan-out for hot addr_keys
+
+    def bloom_kwargs(self) -> dict:
+        return {
+            "capacity": self.seen_capacity,
+            "err": self.seen_err,
+            "expansion": self.seen_expansion,
+        }
+
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("tld", T.StringType(), False),
+        T.StructField("addr_key", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("state", T.StringType(), False),  # queued | done
+        T.StructField("enqueued_epoch", T.IntegerType(), False),
+        # robots-disallowed at admission time (task_filters::RobotsTxt,
+        # rules.rs:71-73): kept for lineage but never fetched and never
+        # counted as pending work.
+        T.StructField("blocked", T.BooleanType(), False),
+    ]
+)
+
+LEASES_SCHEMA = T.StructType(
+    [
+        T.StructField("addr_key", T.StringType(), False),
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("lease_epoch", T.IntegerType(), False),
+        T.StructField("ttl_epochs", T.IntegerType(), False),
+    ]
+)
+
+JOB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("pages_crawled", T.IntegerType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+        T.StructField("last_refill_epoch", T.IntegerType(), False),
+        T.StructField("finished", T.BooleanType(), False),
+    ]
+)
+
+
+def empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def empty_leases(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], LEASES_SCHEMA)
+
+
+def empty_job_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], JOB_STATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Enqueue
+# ---------------------------------------------------------------------
+
+
+def identity_for_urls(urls: DataFrame, cfg: CrawlConfig, depth_col=None) -> DataFrame:
+    """url[, depth] -> full frontier identity, dropping host-less URLs
+    (reference skips them at crusty.rs:498-507)."""
+    df = U.with_frontier_identity(urls, shard_total=cfg.shard_total)
+    df = df.filter(F.col("domain").isNotNull())
+    depth = F.col("depth") if depth_col else F.lit(0)
+    return df.select(
+        "url", "url_hash", "domain", "tld", "addr_key", "shard", depth.cast("int").alias("depth")
+    )
+
+
+def enqueue_tasks(
+    frontier: DataFrame, candidates: DataFrame, epoch: int
+) -> DataFrame:
+    """Insert-if-absent of task rows on (domain, url_hash) — the per-job
+    URL dedup (task_filters::HashSetDedup, rules.rs:59-60,74) plus the
+    enqueue idempotence of lib.rs:29-107. Returns the new frontier."""
+    blocked = F.col("blocked") if "blocked" in candidates.columns else F.lit(False)
+    fresh = (
+        candidates.dropDuplicates(["domain", "url_hash"])
+        .join(
+            frontier.select("domain", "url_hash"), ["domain", "url_hash"], "left_anti"
+        )
+        .select(
+            "url", "url_hash", "domain", "tld", "addr_key", "shard", "depth",
+            F.lit("queued").alias("state"),
+            F.lit(epoch).cast("int").alias("enqueued_epoch"),
+            blocked.alias("blocked"),
+        )
+    )
+    return frontier.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------
+# Dequeue: salted two-phase argmin, one domain per addr_key
+# ---------------------------------------------------------------------
+
+
+def dequeue(
+    frontier: DataFrame,
+    leases: DataFrame,
+    job_state: DataFrame,
+    epoch: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """-> new lease rows (LEASES_SCHEMA) for this epoch.
+
+    Pipeline (each step cites the reference semantics it reproduces):
+    1. candidate domains = queued tasks' domains minus finished jobs
+    2. J3: drop addr_keys that already hold a lease (lib.rs:89-99)
+    3. J2: drop domains already leased (lib.rs:50-63)
+    4. per-addr_key argmin(min_depth, domain) via salted two-phase agg
+       (SPOP replacement, deterministic — SURVEY §2.6 O3)
+    5. O2: per-shard dequeue_limit (lib.rs:112-118)
+    """
+    live_leases = leases.filter(
+        F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch)
+    )
+    queued = frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
+    # domain-level candidates: first shuffle is by domain (well spread)
+    domains = queued.groupBy("shard", "addr_key", "domain").agg(
+        F.min("depth").alias("min_depth")
+    )
+    finished = job_state.filter(F.col("finished"))
+    domains = domains.join(finished.select("domain"), "domain", "left_anti")
+    domains = domains.join(live_leases.select("addr_key"), "addr_key", "left_anti")
+    domains = domains.join(live_leases.select("domain"), "domain", "left_anti")
+
+    # salted two-phase argmin over (min_depth, domain) per addr_key:
+    # phase 1 reduces each (addr_key, salt) bucket to one candidate,
+    # phase 2 reduces the <=salt_buckets survivors. Hot /24s with many
+    # domains therefore never serialize into a single task.
+    cand = F.struct(
+        F.col("min_depth").alias("p"), F.col("domain").alias("domain"),
+        F.col("shard").alias("shard"),
+    )
+    phase1 = (
+        domains.withColumn(
+            "salt", F.pmod(F.xxhash64("domain"), F.lit(cfg.salt_buckets))
+        )
+        .groupBy("addr_key", "salt")
+        .agg(F.min(cand).alias("cand"))
+    )
+    picked = phase1.groupBy("addr_key").agg(F.min("cand").alias("cand")).select(
+        "addr_key",
+        F.col("cand.domain").alias("domain"),
+        F.col("cand.shard").alias("shard"),
+        F.col("cand.p").alias("min_depth"),
+    )
+
+    # per-shard limit (deterministic rank by (min_depth, domain));
+    # shard count is fixed and balanced so this window doesn't skew
+    ranked = picked.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("shard").orderBy("min_depth", "domain")),
+    ).filter(F.col("rk") <= cfg.dequeue_limit)
+
+    return ranked.select(
+        "addr_key",
+        "domain",
+        "shard",
+        F.lit(epoch).cast("int").alias("lease_epoch"),
+        F.lit(cfg.lease_ttl_epochs).cast("int").alias("ttl_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Politeness token bucket + fetch-task selection
+# ---------------------------------------------------------------------
+
+_ALLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("pages_crawled", T.IntegerType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+        T.StructField("last_refill_epoch", T.IntegerType(), False),
+        T.StructField("finished", T.BooleanType(), False),
+        T.StructField("allowed", T.IntegerType(), False),
+    ]
+)
+
+
+def allowance(
+    job_state: DataFrame,
+    leased: DataFrame,
+    robots: DataFrame,
+    epoch: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Vectorized token-bucket update for leased domains (north_star's
+    'politeness token buckets as pandas/Arrow UDFs').
+
+    rate = concurrency / (1 + crawl_delay) tokens/epoch, cap =
+    concurrency; allowed pages this epoch = floor(available tokens),
+    also capped by the remaining page budget (F6). Returns updated
+    job_state rows + 'allowed' for this epoch's leased domains only.
+    """
+    base = (
+        leased.select("domain", "shard")
+        .join(job_state, ["domain", "shard"], "left")
+        .join(robots.select("domain", "crawl_delay_epochs"), "domain", "left")
+        .select(
+            "domain",
+            "shard",
+            F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"),
+            F.coalesce("tokens", F.lit(float(cfg.domain_concurrency))).alias("tokens"),
+            F.coalesce("last_refill_epoch", F.lit(epoch)).alias("last_refill_epoch"),
+            F.coalesce("finished", F.lit(False)).alias("finished"),
+            F.coalesce("crawl_delay_epochs", F.lit(0)).alias("delay"),
+        )
+    )
+
+    cap = float(cfg.domain_concurrency)
+    budget = cfg.page_budget
+
+    def update(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rate = cap / (1.0 + pdf["delay"].to_numpy(dtype=np.float64))
+        dt = (epoch - pdf["last_refill_epoch"].to_numpy(dtype=np.int64)).clip(min=0)
+        tokens = np.minimum(pdf["tokens"].to_numpy(dtype=np.float64) + rate * dt, cap)
+        remaining = (budget - pdf["pages_crawled"].to_numpy(dtype=np.int64)).clip(min=0)
+        allowed = np.minimum(np.floor(tokens).astype(np.int64), remaining)
+        return pd.DataFrame(
+            {
+                "domain": pdf["domain"],
+                "shard": pdf["shard"],
+                "pages_crawled": pdf["pages_crawled"],
+                "tokens": tokens,
+                "last_refill_epoch": epoch,
+                "finished": pdf["finished"],
+                "allowed": allowed.astype(np.int32),
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(update, _ALLOW_SCHEMA)
+
+
+def select_fetch_tasks(
+    frontier: DataFrame, allow: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Pick the next `allowed` queued URLs per leased domain, ordered by
+    (depth, url_hash) — deterministic tie-break (SURVEY §2.6 O3). The
+    window is bounded: only leased domains (<= dequeue_limit * shards)
+    with <= concurrency rows surviving, so no skew concern."""
+    cands = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).join(
+        F.broadcast(allow.filter(F.col("allowed") > 0).select("domain", "allowed")),
+        "domain",
+    )
+    w = Window.partitionBy("domain").orderBy("depth", "url_hash")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("allowed"))
+        .drop("rn", "allowed")
+    )
+
+
+# ---------------------------------------------------------------------
+# Finish
+# ---------------------------------------------------------------------
+
+
+def finish_domains(
+    frontier: DataFrame,
+    leases: DataFrame,
+    job_state_updated: DataFrame,
+    epoch: int,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Domains whose lease should be released because the job is done:
+    no queued URLs remain, or the page budget is exhausted
+    (lib.rs:153-197 finish + TotalPageBudget). Returns (domain, shard,
+    pages_crawled) rows; the caller releases leases, marks job_state
+    finished, and commits the domain to the seen Bloom (J6)."""
+    queued_counts = (
+        frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_queued"))
+    )
+    leased = leases.select("domain", "shard").join(
+        job_state_updated.select("domain", "pages_crawled"), "domain", "left"
+    )
+    done = (
+        leased.join(queued_counts, "domain", "left")
+        .withColumn("n_queued", F.coalesce("n_queued", F.lit(0)))
+        .filter(
+            (F.col("n_queued") == 0)
+            | (F.coalesce("pages_crawled", F.lit(0)) >= cfg.page_budget)
+        )
+    )
+    return done.select("domain", "shard", F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"))

@@ -145,6 +145,27 @@ def shard_of(addr_key: str, shard_total: int) -> int:
     return crc32_str(addr_key) % shard_total
 
 
+def xxh64_long_np(values: np.ndarray, seed: int = SPARK_HASH_SEED) -> np.ndarray:
+    """Vectorized xxh64_long over an int64/uint64 array (wraparound
+    uint64 arithmetic). Bit-equal to the scalar xxh64_long — used for
+    deterministic link derivation in fetch UDF batches and mirrored by
+    the pure-Python simulator."""
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64)
+        p1, p2, p4, p5 = (np.uint64(_P1), np.uint64(_P2), np.uint64(_P4), np.uint64(_P5))
+        h = np.uint64((seed + _P5 + 8) & _M64)
+        k = v * p2
+        k = (k << np.uint64(31)) | (k >> np.uint64(33))
+        h = h ^ (k * p1)
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+        return h
+
+
 # --- numpy-vectorized double hashing for Bloom lanes -------------------
 #
 # Bloom probes need k independent hash lanes per key. We derive them by

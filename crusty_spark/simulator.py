@@ -1,0 +1,276 @@
+"""Pure-Python reference simulator — the ordering/membership oracle.
+
+An exact re-implementation of the enqueue/dequeue/finish state machine
+of the reference's Redis queue module (workspace/redis-queue/src/
+lib.rs:29-197), its filter chain (rules.rs:56-93), and the discovery
+filter (crusty.rs:250-274), using dicts/sets and the pure-Python twins
+from urls.py / fetch.py / hashing.py. SPOP nondeterminism is replaced
+by the same deterministic tie-break the engine uses (SURVEY §2.6 O3:
+argmin(min_depth, domain) per addr_key; (depth, url_hash) per task).
+
+Property under test (north_rule): given identical seeds, config, and
+payload table, the Spark engine's per-epoch fetched-URL sets, final
+URL-seen membership, and finished-domain set must equal this
+simulator's exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .fetch import py_derive_links, py_status_of
+from .fixtures import TLD_WHITELIST, gen_image_row, robots_rules_for
+from .frontier import CrawlConfig
+from .hashing import spark_xxhash64_str
+from .urls import py_addr_key_of, py_host_of, py_shard_of, py_strip_www, py_tld_of
+
+_TLD_SET = {t.upper() for t in TLD_WHITELIST}
+
+
+@dataclass
+class SimTask:
+    url: str
+    url_hash: int
+    domain: str
+    addr_key: str
+    shard: int
+    depth: int
+    state: str = "queued"
+    blocked: bool = False
+
+
+@dataclass
+class SimJob:
+    domain: str
+    shard: int
+    pages_crawled: int = 0
+    tokens: float = 0.0
+    last_refill_epoch: int = 0
+    finished: bool = False
+
+
+class SimCrawler:
+    def __init__(self, n_images: int, cfg: CrawlConfig | None = None):
+        self.cfg = cfg or CrawlConfig()
+        self.n_images = n_images
+        self._phash = {}
+        self.tasks: dict[tuple[str, int], SimTask] = {}
+        self.leases: dict[str, tuple[str, int, int]] = {}  # addr_key -> (domain, epoch, ttl)
+        self.jobs: dict[str, SimJob] = {}
+        self.seen: set[str] = set()
+        self.robots: dict[str, tuple[list[str], int]] = {}
+        self.domain_links: set[tuple[str, str]] = set()
+        self.hits: dict[tuple[str, str], float] = {}
+        self.hits_epoch: int = 0
+        self.epoch = 0
+        self.fetched_log: list[set[str]] = []
+
+    # ----- helpers -----
+
+    def _phash_of(self, idx: int) -> int:
+        if idx not in self._phash:
+            self._phash[idx] = gen_image_row(idx)[6]
+        return self._phash[idx]
+
+    def _robots_of(self, domain: str) -> tuple[list[str], int]:
+        if domain not in self.robots:
+            self.robots[domain] = robots_rules_for(domain)
+        return self.robots[domain]
+
+    def _blocked(self, domain: str, url: str) -> bool:
+        dis, _ = self._robots_of(domain)
+        rest = url.split("://", 1)[1]
+        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+        return any(path.startswith(d) for d in dis)
+
+    def _enqueue(self, url: str, domain: str, depth: int) -> None:
+        uh = spark_xxhash64_str(url)
+        key = (domain, uh)
+        if key in self.tasks:
+            return
+        ak = py_addr_key_of(domain)
+        self.tasks[key] = SimTask(
+            url=url,
+            url_hash=uh,
+            domain=domain,
+            addr_key=ak,
+            shard=py_shard_of(ak, self.cfg.shard_total),
+            depth=depth,
+            blocked=self._blocked(domain, url),
+        )
+
+    def seed(self, seed_urls: list[str]) -> None:
+        for u in seed_urls:
+            host = py_host_of(u)
+            if host is None:
+                continue
+            self._enqueue(u, py_strip_www(host), 0)
+
+    # ----- the epoch (mirrors Crawler.run_epoch step-for-step) -----
+
+    def run_epoch(self) -> dict:
+        cfg = self.cfg
+        epoch = self.epoch + 1
+
+        # lease expiry
+        self.leases = {
+            ak: v for ak, v in self.leases.items() if v[1] + v[2] > epoch
+        }
+        leased_domains = {v[0] for v in self.leases.values()}
+
+        # dequeue: one domain per addr_key, argmin(min_depth, domain)
+        cand: dict[str, dict[str, tuple[int, str, int]]] = {}
+        for t in self.tasks.values():
+            if t.state != "queued" or t.blocked:
+                continue
+            j = self.jobs.get(t.domain)
+            if j and j.finished:
+                continue
+            if t.addr_key in self.leases or t.domain in leased_domains:
+                continue
+            d = cand.setdefault(t.addr_key, {})
+            prev = d.get(t.domain)
+            if prev is None or t.depth < prev[0]:
+                d[t.domain] = (t.depth, t.domain, t.shard)
+        picked = []
+        for ak, doms in cand.items():
+            best = min(doms.values())  # (min_depth, domain, shard)
+            picked.append((ak, best))
+        # per-shard limit, rank by (min_depth, domain)
+        by_shard: dict[int, list] = {}
+        for ak, (md, dom, sh) in picked:
+            by_shard.setdefault(sh, []).append((md, dom, ak, sh))
+        n_dequeued = 0
+        for sh, items in by_shard.items():
+            items.sort()
+            for md, dom, ak, s in items[: cfg.dequeue_limit]:
+                self.leases[ak] = (dom, epoch, cfg.lease_ttl_epochs)
+                n_dequeued += 1
+
+        # allowance (token bucket) for every live lease
+        allow: dict[str, int] = {}
+        for ak, (dom, le, ttl) in self.leases.items():
+            j = self.jobs.get(dom)
+            if j is None:
+                j = SimJob(domain=dom, shard=py_shard_of(py_addr_key_of(dom), cfg.shard_total),
+                           tokens=float(cfg.domain_concurrency), last_refill_epoch=epoch)
+                self.jobs[dom] = j
+            _, delay = self._robots_of(dom)
+            rate = cfg.domain_concurrency / (1.0 + delay)
+            dt = max(0, epoch - j.last_refill_epoch)
+            j.tokens = min(j.tokens + rate * dt, float(cfg.domain_concurrency))
+            j.last_refill_epoch = epoch
+            remaining = max(0, cfg.page_budget - j.pages_crawled)
+            allow[dom] = min(int(math.floor(j.tokens)), remaining)
+
+        # fetch-task selection: (depth, url_hash) per domain
+        per_domain: dict[str, list[SimTask]] = {}
+        for t in self.tasks.values():
+            if t.state == "queued" and not t.blocked and t.domain in allow and allow[t.domain] > 0:
+                per_domain.setdefault(t.domain, []).append(t)
+        fetched: list[SimTask] = []
+        for dom, ts in per_domain.items():
+            ts.sort(key=lambda t: (t.depth, t.url_hash))
+            fetched.extend(ts[: allow[dom]])
+
+        # fetch + parse + mark done
+        internal_cands: list[tuple[str, str, int]] = []
+        ext_pairs: list[tuple[str, str]] = []
+        for t in fetched:
+            t.state = "done"
+            j = self.jobs[t.domain]
+            j.pages_crawled += 1
+            j.tokens -= 1.0
+            status = py_status_of(t.url_hash)
+            if status != 200:
+                continue
+            idx = t.url_hash % self.n_images
+            ph = self._phash_of(idx)
+            ints, exts = py_derive_links(t.url_hash, ph)
+            nd = t.depth + 1
+            for k, path in enumerate(ints):
+                if k >= cfg.links_per_page or path.endswith("#nofollow") or nd > cfg.max_depth:
+                    continue
+                internal_cands.append((t.domain, path, nd))
+            for e in exts:
+                if e != t.domain:
+                    self.domain_links.add((t.domain, e))
+                ext_pairs.append((t.domain, e))
+        # discovery filter then batch dedup — same order as
+        # discovery_candidates (filter rows, THEN dropDuplicates)
+        external_cands: list[str] = []
+        ext_dedup: set[str] = set()
+        for src, e in ext_pairs:
+            if (
+                len(e) >= 4
+                and "." in e
+                and e != src
+                and py_tld_of(e) in _TLD_SET
+                and e not in ext_dedup
+            ):
+                ext_dedup.add(e)
+                external_cands.append(e)
+
+        # internal enqueue
+        for dom, path, depth in internal_cands:
+            self._enqueue(f"http://{dom}{path}", dom, depth)
+
+        # discovery enqueue: minus known frontier domains, minus seen
+        frontier_domains = {t.domain for t in self.tasks.values()}
+        n_disc = 0
+        for e in external_cands:
+            if e in frontier_domains or e in self.seen:
+                continue
+            frontier_domains.add(e)
+            self._enqueue(f"http://{e}/", e, 0)
+            n_disc += 1
+
+        # finish
+        queued_count: dict[str, int] = {}
+        for t in self.tasks.values():
+            if t.state == "queued" and not t.blocked:
+                queued_count[t.domain] = queued_count.get(t.domain, 0) + 1
+        done_domains = []
+        for ak, (dom, le, ttl) in list(self.leases.items()):
+            j = self.jobs.get(dom)
+            pages = j.pages_crawled if j else 0
+            if queued_count.get(dom, 0) == 0 or pages >= cfg.page_budget:
+                done_domains.append(dom)
+                del self.leases[ak]
+                if j:
+                    j.finished = True
+                self.seen.add(dom)
+        if done_domains:
+            # decay prior hit state to this epoch, then add fresh counts
+            for key in list(self.hits):
+                self.hits[key] *= cfg.topk_decay ** (epoch - self.hits_epoch)
+            self.hits_epoch = epoch
+            counts: dict[str, float] = {}
+            done_set = set(done_domains)
+            for dom in done_domains:
+                counts[dom] = counts.get(dom, 0.0) + 1.0
+            for src, linked in list(self.domain_links):
+                if src in done_set:
+                    counts[linked] = counts.get(linked, 0.0) + 1.0
+                    self.domain_links.discard((src, linked))
+            for dom, c in counts.items():
+                for tld in (py_tld_of(dom), ""):
+                    k = (tld, dom)
+                    self.hits[k] = self.hits.get(k, 0.0) + c
+
+        self.epoch = epoch
+        fetched_urls = {t.url for t in fetched}
+        self.fetched_log.append(fetched_urls)
+        return {
+            "epoch": epoch,
+            "dequeued": n_dequeued,
+            "fetched": len(fetched),
+            "discovered": n_disc,
+            "finished": len(done_domains),
+            "queued_after": sum(queued_count.values()),
+            "fetched_urls": fetched_urls,
+        }
+
+    def run(self, n_epochs: int) -> list[dict]:
+        return [self.run_epoch() for _ in range(n_epochs)]

@@ -1,0 +1,130 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crusty_spark.crawler import Crawler
+from crusty_spark.fixtures import images_df, seed_urls
+from crusty_spark.frontier import CrawlConfig
+from crusty_spark.simulator import SimCrawler
+
+N_IMAGES = 64
+CFG = CrawlConfig(
+    shard_total=4,
+    dequeue_limit=100,
+    domain_concurrency=2,
+    lease_ttl_epochs=10,
+    max_depth=5,
+    page_budget=6,
+    seen_capacity=5000,
+    seen_err=1e-6,  # so bloom FPs can't perturb the equality check
+    salt_buckets=4,
+)
+SEEDS = seed_urls(12)
+EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, ckpt, cfg=CFG)
+    c.init_empty()
+    c.seed(SEEDS)
+    stats = c.run(EPOCHS, stop_when_idle=False)
+    return c, stats, ckpt, images
+
+
+@pytest.fixture(scope="module")
+def sim():
+    s = SimCrawler(N_IMAGES, cfg=CFG)
+    s.seed(SEEDS)
+    stats = s.run(EPOCHS)
+    return s, stats
+
+
+def test_epoch_stats_match_simulator(crawl, sim):
+    _, stats, _, _ = crawl
+    s, sim_stats = sim
+    for got, want in zip(stats, sim_stats):
+        assert got.epoch == want["epoch"]
+        assert got.dequeued == want["dequeued"], f"epoch {got.epoch} dequeued"
+        assert got.fetched == want["fetched"], f"epoch {got.epoch} fetched"
+        assert got.discovered_domains == want["discovered"], f"epoch {got.epoch} discovered"
+        assert got.finished == want["finished"], f"epoch {got.epoch} finished"
+        assert got.queued_after == want["queued_after"], f"epoch {got.epoch} queued"
+
+
+def test_fetched_urls_match_simulator(crawl, sim):
+    c, _, _, _ = crawl
+    s, _ = sim
+    engine_urls = {r.url for r in c.fetched_urls().collect()}
+    sim_urls = set().union(*s.fetched_log) if s.fetched_log else set()
+    assert engine_urls == sim_urls
+
+
+def test_seen_membership_matches_simulator(crawl, sim):
+    c, _, _, _ = crawl
+    s, _ = sim
+    engine_seen = {r.domain for r in c.seen_domains_exact().collect()}
+    assert engine_seen == s.seen
+
+
+def test_politeness_invariant(crawl):
+    """Never two in-flight domains sharing an addr_key (lib.rs:89-99)."""
+    c, _, ckpt, _ = crawl
+    import glob
+    import os
+
+    for d in sorted(glob.glob(os.path.join(ckpt, "epoch=*"))):
+        leases = c.spark.read.parquet(os.path.join(d, "leases"))
+        dup = leases.groupBy("addr_key").count().filter("count > 1").count()
+        assert dup == 0, f"politeness violated in {d}"
+
+
+def test_page_budget_respected(crawl):
+    c, _, _, _ = crawl
+    over = c.state["job_state"].filter(F.col("pages_crawled") > CFG.page_budget).count()
+    assert over == 0
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, crawl, sim):
+    """Kill after epoch 2, resume, run to EPOCHS: final state must equal
+    the uninterrupted run (north_rule exact resumability)."""
+    _, _, _, images = crawl
+    s, _ = sim
+    ckpt2 = str(tmp_path / "ckpt2")
+    c2 = Crawler(spark, images, N_IMAGES, ckpt2, cfg=CFG)
+    c2.init_empty()
+    c2.seed(SEEDS)
+    c2.run(2, stop_when_idle=False)
+    # simulate a new process: fresh Crawler object resumes from disk
+    c3 = Crawler(spark, images, N_IMAGES, ckpt2, cfg=CFG)
+    c3.resume()
+    assert c3.epoch == 2
+    c3.run(EPOCHS - 2, stop_when_idle=False)
+    engine_seen = {r.domain for r in c3.seen_domains_exact().collect()}
+    assert engine_seen == s.seen
+    engine_urls = {r.url for r in c3.fetched_urls().collect()}
+    sim_urls = set().union(*s.fetched_log) if s.fetched_log else set()
+    assert engine_urls == sim_urls
+
+
+def test_topk_matches_simulator(crawl, sim):
+    c, _, _, _ = crawl
+    s, _ = sim
+    got = {(r.tld, r.domain): r.hits for r in c.topk(100).collect()}
+    # sim top-100 per tld
+    import itertools
+
+    want = {}
+    by_tld: dict[str, list] = {}
+    for (tld, dom), h in s.hits.items():
+        by_tld.setdefault(tld, []).append((-h, dom, h))
+    for tld, items in by_tld.items():
+        items.sort()
+        for _, dom, h in items[:100]:
+            want[(tld, dom)] = h
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, k
