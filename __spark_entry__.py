@@ -1,38 +1,665 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data operators; ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible one. Crawl-semantics queries
+derive a deterministic synthetic frontier from the driver's TPC-H-ish
+tables (both engines compute the same derivation), then apply the real
+engine operators. Column names and float rounding are aligned on both
+sides because the driver's compare hashes values by sorted column name.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crusty_spark.training import dedup as D
+from crusty_spark.training import similarity as S
+from crusty_spark.training import text as X
+
+# ---------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _h64(col):
+    return X.h64(col)
+
+
+_H64_SQL = "cast(concat('0x', substr(md5({x}), 1, 15)) as bigint)"
+
+# synthetic frontier derived from customer — identical text in both engines
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    tld = F.element_at(F.array(F.lit("com"), F.lit("net"), F.lit("org"), F.lit("io")), (k % 4 + 1).cast("int"))
+    url = F.concat(
+        F.lit("http://"),
+        F.when(k % 5 == 0, "www.").otherwise(""),
+        F.lit("site"), k.cast("string"), F.lit("."), tld,
+        F.when(k % 3 == 0, "/a/b").otherwise("/"),
+    )
+    host = F.regexp_extract(url, "http://([^/]+)", 1)
+    domain = F.regexp_replace(host, r"^www\.", "")
+    return c.select(
+        k.alias("id"),
+        url.alias("url"),
+        domain.alias("domain"),
+        F.upper(F.element_at(F.split(domain, r"\."), -1)).alias("tld"),
+        (k % 40).cast("long").alias("addr_key"),
+        (k % 7).cast("int").alias("depth"),
+    )
+
+
+_FRONTIER_SQL = """
+  SELECT c_custkey AS id,
+         url,
+         domain,
+         upper(string_split(domain, '.')[-1]) AS tld,
+         c_custkey % 40 AS addr_key,
+         cast(c_custkey % 7 AS int) AS depth
+  FROM (
+    SELECT c_custkey, url,
+           regexp_replace(regexp_extract(url, 'http://([^/]+)', 1), '^www\\.', '') AS domain
+    FROM (
+      SELECT c_custkey,
+             concat('http://',
+                    CASE WHEN c_custkey % 5 = 0 THEN 'www.' ELSE '' END,
+                    'site', cast(c_custkey AS varchar), '.',
+                    (['com','net','org','io'])[cast(c_custkey % 4 + 1 AS int)],
+                    CASE WHEN c_custkey % 3 = 0 THEN '/a/b' ELSE '/' END) AS url
+      FROM customer) u ) v
+"""
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(regexp_replace(lower({x}), "
+    "'[^a-z0-9'' ]', ' ', 'g'), ' +'), t -> t <> '')"
+)
+
+_SHINGLES_SQL = (
+    "list_distinct([array_to_string(toks[i:least(i+2, len(toks))], ' ') "
+    "for i in range(1, greatest(len(toks)-2, 1) + 1)])"
+)
+
+
+# ---------------------------------------------------------------------
+# entry / queries / oracles
+# ---------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the politeness dequeue — one domain per addr_key via the
+    salted two-phase argmin — over a frontier derived from sf0.001."""
+    return q_dequeue_one_per_addrkey(spark, "/root/testdata/sf0.001")
+
+
+# ---- crawl-semantics queries ----
+
+
+def q_url_identity(spark, sf_dir):
+    return _frontier_df(spark, sf_dir).select("id", "url", "domain", "tld")
+
+
+def q_shard_bucket(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    return (
+        f.select(F.pmod(_h64(F.col("domain")), F.lit(8)).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_frontier_enqueue_dedup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cand = o.select(
+        F.concat(
+            F.lit("http://site"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".com/p"), (F.col("o_orderkey") % 20).cast("string"),
+        ).alias("url")
+    )
+    seen = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.concat(
+            F.lit("http://site"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".com/p"), (F.col("o_orderkey") % 20).cast("string"),
+        ).alias("url")
+    )
+    return cand.distinct().join(seen, "url", "left_anti").select("url")
+
+
+def q_dequeue_one_per_addrkey(spark, sf_dir):
+    f = _frontier_df(spark, sf_dir)
+    # the engine's salted two-phase argmin (frontier.dequeue core)
+    cand = F.struct(F.col("depth").alias("p"), F.col("domain").alias("domain"))
+    phase1 = (
+        f.withColumn("salt", F.pmod(F.xxhash64("domain"), F.lit(8)))
+        .groupBy("addr_key", "salt")
+        .agg(F.min(cand).alias("cand"))
+    )
+    return (
+        phase1.groupBy("addr_key")
+        .agg(F.min("cand").alias("cand"))
+        .select("addr_key", F.col("cand.domain").alias("domain"), F.col("cand.p").alias("depth"))
+    )
+
+
+def q_dequeue_limit_per_shard(spark, sf_dir):
+    picked = q_dequeue_one_per_addrkey(spark, sf_dir).withColumn(
+        "shard", (F.col("addr_key") % 4).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("depth", "domain")
+    return (
+        picked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("shard", "addr_key", "domain", "depth")
+    )
+
+
+def q_lease_expiry(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    leases = e.select(
+        "event_type", (F.col("event_id") % 50).alias("lease_epoch"), F.lit(10).alias("ttl")
+    )
+    return (
+        leases.filter(F.col("lease_epoch") + F.col("ttl") > 40)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_live"))
+    )
+
+
+def q_page_budget(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # extend the sort key until deterministic so both engines agree
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_tasks"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+def q_links_per_page(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = X.tokens_of(F.col("text"))
+    return d.select(
+        "doc_id", F.explode(F.slice(toks, 1, 5)).alias("token")
+    )
+
+
+def q_depth_nofollow(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(
+        "l_returnflag",
+        F.when(F.col("l_linenumber") % 7 == 0, "nofollow").otherwise("follow").alias("rel"),
+        F.col("l_linenumber").alias("depth"),
+    )
+    return (
+        links.filter((F.col("rel") != "nofollow") & (F.col("depth") <= 4))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def q_discovery_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dom = F.concat(
+        F.lit("d"), (F.col("o_orderkey") % 500).cast("string"), F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("io"), F.lit("xyzbad"), F.lit("net")),
+            (F.col("o_custkey") % 4 + 1).cast("int"),
+        ),
+    )
+    wl = spark.createDataFrame([("COM",), ("IO",), ("NET",), ("ORG",)], ["tld"])
+    cands = o.select(dom.alias("domain")).filter(
+        (F.length("domain") >= 4) & F.col("domain").contains(".")
+    )
+    cands = cands.withColumn(
+        "tld", F.upper(F.element_at(F.split("domain", r"\."), -1))
+    ).join(F.broadcast(wl), "tld", "left_semi")
+    return cands.groupBy("tld").agg(F.countDistinct("domain").alias("n_domains"))
+
+
+def q_topk_per_tld(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hits = e.groupBy(
+        F.col("event_type").alias("tld"), F.col("user_id").cast("string").alias("domain")
+    ).agg(F.count("*").alias("hits"))
+    w = Window.partitionBy("tld").orderBy(F.desc("hits"), F.asc("domain"))
+    return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def q_topk_decayed(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_epoch = e.groupBy(
+        F.col("event_type").alias("tld"),
+        F.col("user_id").cast("string").alias("domain"),
+        (F.col("event_id") % 5).alias("epoch"),
+    ).agg(F.count("*").cast("double").alias("h"))
+    decayed = per_epoch.groupBy("tld", "domain").agg(
+        F.round(F.sum(F.col("h") * F.pow(F.lit(0.92), F.lit(4) - F.col("epoch"))), 6).alias("hits")
+    )
+    w = Window.partitionBy("tld").orderBy(F.desc("hits"), F.asc("domain"))
+    return decayed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def q_queue_rates(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_argmax_linked(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    mx = e.groupBy("event_type").agg(F.max("value").alias("max_value"))
+    return (
+        e.join(mx, "event_type")
+        .filter(F.col("value") == F.col("max_value"))
+        .groupBy("event_type", "max_value")
+        .agg(F.min("user_id").alias("top_user"))
+        .select("event_type", "top_user", F.round("max_value", 4).alias("max_value"))
+    )
+
+
+def q_set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return c.union(s).distinct().agg(F.count("*").alias("n_distinct"))
+
+
+# ---- training-data queries ----
+
+
+def q_token_count(spark, sf_dir):
+    return X.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return X.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return D.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.9, sign_bits=12)
+
+
+def q_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_mod=101, k=5)
+
+
+def q_lsh_topk(spark, sf_dir):
+    return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_mod=101, k=5, bits=8)
+
+
+# ---- non-SQL-expressible (rows-only checks) ----
+
+
+def q_bloom_gate(spark, sf_dir):
+    from crusty_spark.bloom import bloom_filter_unseen, bloom_insert, empty_bloom
+
+    c = _t(spark, sf_dir, "customer")
+    seen = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") % 4).cast("int").alias("shard"),
+        F.concat(F.lit("site"), F.col("c_custkey").cast("string"), F.lit(".com")).alias("name"),
+    )
+    bloom = bloom_insert(empty_bloom(spark), seen, capacity=100_000, err=1e-9)
+    incoming = c.select(
+        (F.col("c_custkey") % 4).cast("int").alias("shard"),
+        F.concat(F.lit("site"), F.col("c_custkey").cast("string"), F.lit(".com")).alias("domain"),
+    )
+    return bloom_filter_unseen(bloom, incoming, "domain").select("shard", "domain")
+
+
+def q_crawl_epoch(spark, sf_dir):
+    """One full engine epoch on a mini seeded crawl (stateful loop —
+    rows-only check). Deterministic: fixed seeds + fixture payload."""
+    from crusty_spark.crawler import Crawler
+    from crusty_spark.fixtures import images_df, seed_urls
+    from crusty_spark.frontier import CrawlConfig
+
+    cfg = CrawlConfig(shard_total=4, dequeue_limit=100, max_depth=3, page_budget=4,
+                      seen_capacity=5000, seen_err=1e-6, salt_buckets=4)
+    images = images_df(spark, 32)
+    c = Crawler(spark, images, 32, tempfile.mkdtemp(prefix="crusty_entry_"), cfg=cfg)
+    c.init_empty()
+    c.seed(seed_urls(10))
+    c.run(2, stop_when_idle=False)
+    return c.fetched_urls().orderBy("url")
+
+
+def q_image_decode(spark, sf_dir):
+    """Payload invariant surface: decode every fixture image, verify the
+    stored phash recomputes exactly (rows-only check)."""
+    import pandas as pd
+
+    from crusty_spark.fixtures import images_df
+
+    def check(batches):
+        import numpy as np
+
+        from crusty_spark.codec import _to_gray_32, decode_image, phash64_batch, psnr
+
+        for pdf in batches:
+            grays, ps = [], []
+            for b, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px, f = decode_image(bytes(b))
+                grays.append(_to_gray_32(px))
+                ps.append(f)
+            hs = phash64_batch(np.stack(grays)) if grays else []
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": ps,
+                    "phash_ok": [int(a == b) for a, b in zip(hs, pdf["phash"])],
+                }
+            )
+
+    return images_df(spark, 48).mapInPandas(check, "image_id string, fmt string, phash_ok int")
+
+
+def _minhash_tail(h: str) -> str:
+    """DuckDB SQL for the MinHash-LSH oracle, appended to the shingle
+    CTE: 8 min-hashes, 4 bands of 2, candidate pairs, jaccard verify."""
+    mh_cols = ", ".join(
+        "min({hh}) AS mh{i}".format(hh=h.format(x="shingle || ':{i}'".format(i=i)), i=i)
+        for i in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {hh} AS band_key FROM mh".format(
+            b=b,
+            hh=h.format(
+                x="concat(cast(mh{a} AS varchar), '_', cast(mh{c} AS varchar))".format(
+                    a=2 * b, c=2 * b + 1
+                )
+            ),
+        )
+        for b in range(4)
+    )
+    return """,
+      mh AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+      bands AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+      SELECT c.doc_a, c.doc_b, j.jaccard
+      FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+      WHERE j.jaccard >= 0.3""".format(mh_cols=mh_cols, band_selects=band_selects)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_url_identity": q_url_identity,
+        "q_shard_bucket": q_shard_bucket,
+        "q_frontier_enqueue_dedup": q_frontier_enqueue_dedup,
+        "q_dequeue_one_per_addrkey": q_dequeue_one_per_addrkey,
+        "q_dequeue_limit_per_shard": q_dequeue_limit_per_shard,
+        "q_lease_expiry": q_lease_expiry,
+        "q_page_budget": q_page_budget,
+        "q_links_per_page": q_links_per_page,
+        "q_depth_nofollow": q_depth_nofollow,
+        "q_discovery_filter": q_discovery_filter,
+        "q_topk_per_tld": q_topk_per_tld,
+        "q_topk_decayed": q_topk_decayed,
+        "q_queue_rates": q_queue_rates,
+        "q_argmax_linked": q_argmax_linked,
+        "q_set_union_distinct": q_set_union_distinct,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_embed_neardup": q_embed_neardup,
+        "q_cosine_topk": q_cosine_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_bloom_gate": q_bloom_gate,
+        "q_crawl_epoch": q_crawl_epoch,
+        "q_image_decode": q_image_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    h = _H64_SQL
+    toks = _TOKS_SQL.format(x="text")
+    stop_en = "['the','and','of','to','a','in','is','it','that','for']"
+    stop_de = "['der','die','das','und','ist','nicht','ein','mit','zu','den']"
+    stop_fr = "['le','la','les','et','est','un','une','des','que','pour']"
+    shingle_cte = f"""
+      WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+      s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+      ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b,
+               round(n_inter::double / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b)
     """
-    return {}
+    return {
+        "q_url_identity": f"SELECT id, url, domain, tld FROM ({_FRONTIER_SQL})",
+        "q_shard_bucket": f"""
+            SELECT {h.format(x='domain')} % 8 AS shard, count(*) AS n
+            FROM ({_FRONTIER_SQL}) GROUP BY 1""",
+        "q_frontier_enqueue_dedup": """
+            WITH cand AS (
+              SELECT DISTINCT concat('http://site', cast(o_custkey % 50 AS varchar),
+                              '.com/p', cast(o_orderkey % 20 AS varchar)) AS url
+              FROM orders),
+            seen AS (
+              SELECT DISTINCT concat('http://site', cast(o_custkey % 50 AS varchar),
+                              '.com/p', cast(o_orderkey % 20 AS varchar)) AS url
+              FROM orders WHERE o_orderkey % 5 = 0)
+            SELECT url FROM cand WHERE url NOT IN (SELECT url FROM seen)""",
+        "q_dequeue_one_per_addrkey": f"""
+            SELECT addr_key, domain, depth FROM (
+              SELECT addr_key, domain, depth,
+                     row_number() OVER (PARTITION BY addr_key ORDER BY depth, domain) AS rn
+              FROM ({_FRONTIER_SQL})) WHERE rn = 1""",
+        "q_dequeue_limit_per_shard": f"""
+            WITH picked AS (
+              SELECT addr_key, domain, depth, addr_key % 4 AS shard FROM (
+                SELECT addr_key, domain, depth,
+                       row_number() OVER (PARTITION BY addr_key ORDER BY depth, domain) AS rn
+                FROM ({_FRONTIER_SQL})) WHERE rn = 1)
+            SELECT shard, addr_key, domain, depth FROM (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY depth, domain) AS rk
+              FROM picked) WHERE rk <= 5""",
+        "q_lease_expiry": """
+            SELECT event_type, count(*) AS n_live
+            FROM (SELECT event_type, event_id % 50 AS lease_epoch FROM events)
+            WHERE lease_epoch + 10 > 40 GROUP BY event_type""",
+        "q_page_budget": """
+            SELECT l_returnflag, count(*) AS n_tasks, round(sum(l_quantity), 4) AS sum_qty
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                  FROM lineitem) WHERE rn <= 3 GROUP BY l_returnflag""",
+        "q_links_per_page": f"""
+            SELECT doc_id, unnest(toks[1:least(5, len(toks))]) AS token
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+            WHERE len(toks) > 0""",
+        "q_depth_nofollow": """
+            SELECT l_returnflag, count(*) AS n_links FROM (
+              SELECT l_returnflag,
+                     CASE WHEN l_linenumber % 7 = 0 THEN 'nofollow' ELSE 'follow' END AS rel,
+                     l_linenumber AS depth
+              FROM lineitem)
+            WHERE rel <> 'nofollow' AND depth <= 4 GROUP BY l_returnflag""",
+        "q_discovery_filter": """
+            SELECT tld, count(DISTINCT domain) AS n_domains FROM (
+              SELECT domain, upper(string_split(domain, '.')[-1]) AS tld FROM (
+                SELECT concat('d', cast(o_orderkey % 500 AS varchar), '.',
+                       (['com','io','xyzbad','net'])[cast(o_custkey % 4 + 1 AS int)]) AS domain
+                FROM orders)
+              WHERE length(domain) >= 4 AND contains(domain, '.'))
+            WHERE tld IN ('COM','IO','NET','ORG') GROUP BY tld""",
+        "q_topk_per_tld": """
+            SELECT tld, domain, hits, rank FROM (
+              SELECT tld, domain, hits,
+                     row_number() OVER (PARTITION BY tld ORDER BY hits DESC, domain ASC) AS rank
+              FROM (SELECT event_type AS tld, cast(user_id AS varchar) AS domain, count(*) AS hits
+                    FROM events GROUP BY 1, 2)) WHERE rank <= 10""",
+        "q_topk_decayed": """
+            SELECT tld, domain, hits, rank FROM (
+              SELECT tld, domain, hits,
+                     row_number() OVER (PARTITION BY tld ORDER BY hits DESC, domain ASC) AS rank
+              FROM (
+                SELECT tld, domain, round(sum(h * power(0.92, 4 - epoch)), 6) AS hits FROM (
+                  SELECT event_type AS tld, cast(user_id AS varchar) AS domain,
+                         event_id % 5 AS epoch, cast(count(*) AS double) AS h
+                  FROM events GROUP BY 1, 2, 3) GROUP BY 1, 2))
+            WHERE rank <= 5""",
+        "q_queue_rates": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2""",
+        "q_argmax_linked": """
+            SELECT e.event_type, min(e.user_id) AS top_user, round(m.max_value, 4) AS max_value
+            FROM events e
+            JOIN (SELECT event_type, max(value) AS max_value FROM events GROUP BY 1) m
+              ON e.event_type = m.event_type AND e.value = m.max_value
+            GROUP BY e.event_type, m.max_value""",
+        "q_set_union_distinct": """
+            SELECT count(*) AS n_distinct FROM (
+              SELECT c_custkey AS k FROM customer UNION SELECT s_suppkey FROM supplier)""",
+        "q_token_count": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
+            FROM documents""",
+        "q_quality_score": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   round(len(regexp_extract_all(text, '[^\\w\\s]'))::double
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round(len(list_intersect({toks}, {stop_en}))::double
+                         / greatest(len({toks}), 1), 4) AS stopword_ratio,
+                   round(length(text)::double / greatest(len({toks}), 1), 4) AS mean_token_len
+            FROM documents""",
+        "q_lang_id": f"""
+            SELECT doc_id, lang, pred_lang, s_en, s_de, s_fr FROM (
+              SELECT doc_id, lang, s_en, s_de, s_fr,
+                     CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'unknown'
+                          WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                          WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                          ELSE 'fr' END AS pred_lang
+              FROM (
+                SELECT doc_id, lang,
+                       len(list_intersect(dt, {stop_en})) AS s_en,
+                       len(list_intersect(dt, {stop_de})) AS s_de,
+                       len(list_intersect(dt, {stop_fr})) AS s_fr
+                FROM (SELECT doc_id, lang, list_distinct({toks}) AS dt FROM documents)))""",
+        "q_fingerprint": f"""
+            SELECT doc_id,
+                   coalesce(list_min(list_transform(sh, s -> {h.format(x='s')})),
+                            {h.format(x='text')}) AS fingerprint
+            FROM (SELECT doc_id, text, {_SHINGLES_SQL} AS sh
+                  FROM (SELECT doc_id, text, {toks} AS toks FROM documents))""",
+        "q_dedup_exact": """
+            SELECT content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM (
+              SELECT doc_id, {ch} AS content_hash
+              FROM documents) GROUP BY content_hash""".format(
+            ch=h.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+        ),
+        "q_jaccard_pairs": shingle_cte
+        + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3",
+        "q_minhash_lsh": shingle_cte + _minhash_tail(h),
+        "q_simhash": f"""
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+            FROM (
+              SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM (SELECT doc_id, {h.format(x='tok')} AS th
+                    FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)) t,
+                   range(0, 16) r(bit)
+              GROUP BY doc_id, bit)
+            GROUP BY doc_id""",
+        "q_embed_neardup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_sum(list_transform(range(0, 12),
+                       j -> CASE WHEN embedding[cast(j + 1 AS int)] > 0
+                                 THEN (1::bigint << cast(j AS int)) ELSE 0 END)) AS sig
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""",
+        "q_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 101 = 0),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS cos
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "q_lsh_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_sum(list_transform(range(0, 8),
+                       j -> CASE WHEN embedding[cast(j + 1 AS int)] > 0
+                                 THEN (1::bigint << cast(j AS int)) ELSE 0 END)) AS sig
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, sig FROM e WHERE vec_id % 101 = 0),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+              FROM q JOIN e c ON c.sig = q.sig AND c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "q_bloom_gate": """
+            SELECT cast(c_custkey % 4 AS int) AS shard,
+                   concat('site', cast(c_custkey AS varchar), '.com') AS domain
+            FROM customer
+            WHERE concat('site', cast(c_custkey AS varchar), '.com') NOT IN (
+              SELECT concat('site', cast(c_custkey AS varchar), '.com')
+              FROM customer WHERE c_custkey % 3 = 0)""",
+    }

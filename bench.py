@@ -1,0 +1,218 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier_pops_per_sec": ..., "scaling": {...}}
+
+Two parts:
+1. headline queries from __spark_entry__.py at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. the north metric: frontier pops/sec — one full scheduler pipeline
+   (identity -> politeness dequeue -> fetch+parse) over a lazily
+   generated synthetic frontier (spark.range + hash-derived columns,
+   never materialized raw) — measured at two parallelism levels
+   (local[N/4] vs local[N]) on identical input; scaling efficiency =
+   (pops_N / pops_N4) / 4, target >= 0.8 (BASELINE.json north_rule,
+   sandbox form per BASELINE.md).
+
+Set BENCH_SCALING=0 to skip part 2 (e.g. quick iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+HEADLINE = [
+    "q_dequeue_one_per_addrkey",
+    "q_frontier_enqueue_dedup",
+    "q_page_budget",
+    "q_topk_decayed",
+    "q_queue_rates",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_cosine_topk",
+    "q_embed_neardup",
+]
+
+FRONTIER_ROWS = int(os.environ.get("BENCH_FRONTIER_ROWS", 2_000_000))
+N_IMAGES = 512
+
+
+def _get_spark(cpus: int, app: str):
+    from crusty_spark.session import get_spark
+
+    # 2x cores: halves the cost of a straggler task per shuffle stage
+    return get_spark(app=app, parallelism=cpus, shuffle_partitions=max(2 * cpus, 8))
+
+
+def synth_frontier(spark, n: int, cfg):
+    """10^10-scale-shaped frontier: every column derived from the row id
+    by JVM hash functions — generation cost is O(partitions), storage 0."""
+    from crusty_spark import urls as U
+
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    # ~n/20 distinct domains, hot /24s occur naturally via addr_key hash
+    dom = F.concat(
+        F.lit("host"), F.pmod(F.xxhash64("id"), F.lit(max(n // 20, 1))).cast("string"),
+        F.lit(".com"),
+    )
+    url = F.concat(F.lit("http://"), dom, F.lit("/p"), F.pmod(F.col("id"), F.lit(1000)).cast("string"))
+    out = df.select(
+        url.alias("url"),
+        F.xxhash64(url).alias("url_hash"),
+        dom.alias("domain"),
+        F.lit("COM").alias("tld"),
+        U.addr_key_of(dom).alias("addr_key"),
+        U.shard_of_col(U.addr_key_of(dom), cfg.shard_total).alias("shard"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("depth"),
+        F.lit("queued").alias("state"),
+        F.lit(0).cast("int").alias("enqueued_epoch"),
+        F.lit(False).alias("blocked"),
+    )
+    return out
+
+
+def frontier_pops_bench(cpus: int, n_rows: int) -> dict:
+    """Run the pops benchmark in a subprocess pinned to exactly `cpus`
+    CPUs. Without pinning, local[N]'s Python workers execute on top of
+    the N JVM threads, so a "4-core" run borrows extra cores from the
+    box and the N-vs-4N comparison understates true scaling; affinity
+    models per-node CPU limits the way a real cluster enforces them."""
+    import subprocess
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pops-bench", str(cpus), str(n_rows)],
+        capture_output=True, text=True, env=env, check=False,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"pops bench failed (cpus={cpus}): {out.stderr[-2000:]}")
+
+
+def _frontier_pops_bench_inproc(cpus: int, n_rows: int) -> dict:
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError):
+        pass  # non-Linux: fall back to unpinned
+    spark = _get_spark(cpus, f"bench_pops_{cpus}")
+    try:
+        from crusty_spark import fetch as FE
+        from crusty_spark import frontier as FR
+        from crusty_spark.fixtures import images_df
+        from crusty_spark.frontier import CrawlConfig
+
+        cfg = CrawlConfig(shard_total=32, dequeue_limit=500_000, domain_concurrency=8)
+        # materialize once (in prod the frontier IS a stored table; the
+        # epoch reads it, it isn't re-derived per scan)
+        frontier = synth_frontier(spark, n_rows, cfg).cache()
+        frontier.count()
+        # 32x32 payloads: the scheduler + decode pipeline stays CPU-bound;
+        # big payloads only measure this single box's memory bus (a real
+        # 4N-node cluster scales bandwidth with nodes)
+        images = images_df(spark, N_IMAGES, sizes=[32]).cache()
+        images.count()  # warm payload table, excluded from timing
+
+        def one_epoch() -> int:
+            leases = FR.dequeue(
+                frontier, FR.empty_leases(spark), FR.empty_job_state(spark), 1, cfg
+            )
+            allow = leases.select(
+                "domain", "shard", F.lit(cfg.domain_concurrency).cast("int").alias("allowed")
+            )
+            tasks = FR.select_fetch_tasks(frontier, allow, cfg)
+            parsed = FE.fetch_and_parse(tasks, images, N_IMAGES)
+            return parsed.count()
+
+        import gc
+
+        def epoch_and_clean() -> tuple[float, int]:
+            t0 = time.monotonic()
+            pops = one_epoch()
+            took = time.monotonic() - t0
+            # release py4j-held plans/shuffles: without this, shuffle
+            # files and broadcast blocks accumulate and later epochs
+            # degrade monotonically
+            gc.collect()
+            spark._jvm.System.gc()
+            return took, pops
+
+        for _ in range(int(os.environ.get("BENCH_WARMUPS", "1"))):
+            epoch_and_clean()  # warm-up: worker fork+imports, JIT
+        repeats = int(os.environ.get("BENCH_EPOCH_REPEATS", "3"))
+        runs = []
+        for _ in range(repeats):
+            runs.append(epoch_and_clean())
+        # best-of-N: robust to host noise on a shared sandbox VM
+        took, pops = min(runs)
+        return {
+            "cpus": cpus,
+            "pops": pops,
+            "sec": round(took, 3),
+            "pops_per_sec": round(pops / took, 1),
+            "all_secs": [round(s, 2) for s, _ in runs],
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    spark = _get_spark(cpus, "bench_headline")
+    per_q = {}
+    try:
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_q[name] = round(time.monotonic() - t0, 3)
+    finally:
+        spark.stop()
+    total = round(sum(per_q.values()), 3)
+
+    result = {
+        "metric": "headline query suite wall time (see BASELINE.md; north metric in frontier_pops_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": per_q,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        lo = max(cpus // 4, 1)
+        r_hi = frontier_pops_bench(cpus, FRONTIER_ROWS)
+        r_lo = frontier_pops_bench(lo, FRONTIER_ROWS)
+        eff = (r_hi["pops_per_sec"] / r_lo["pops_per_sec"]) / (cpus / lo)
+        result["frontier_pops_per_sec"] = r_hi["pops_per_sec"]
+        result["scaling"] = {
+            "low": r_lo,
+            "high": r_hi,
+            "parallelism_ratio": cpus / lo,
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--pops-bench":
+        print(json.dumps(_frontier_pops_bench_inproc(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()

@@ -122,8 +122,15 @@ def phash64(pixels: np.ndarray) -> int:
 
 def phash64_batch(gray32_stack: np.ndarray) -> np.ndarray:
     """(n, 32, 32) float stack -> (n,) int64 phashes, fully vectorized."""
-    d = np.einsum("ij,njk,lk->nil", _DCT, gray32_stack, _DCT)
-    low = d[:, :8, :8].reshape(len(gray32_stack), 64)
+    # Only the top-left 8x8 of the DCT is used, so contract with the
+    # first 8 basis rows only, shaped as one big GEMM + one tensordot —
+    # per-item batched matmul / einsum / full-width transposes are
+    # 30-100x slower here (tiny matrices, pathological strides).
+    n = gray32_stack.shape[0]
+    d8t = np.ascontiguousarray(_DCT[:8].T)  # (32, 8)
+    y = (gray32_stack.reshape(n * _N, _N) @ d8t).reshape(n, _N, 8)
+    lt = np.tensordot(y, d8t, axes=([1], [0]))  # (n, 8c, 8r) = L^T per item
+    low = lt.transpose(0, 2, 1).reshape(n, 64)
     med = np.median(low[:, 1:], axis=1, keepdims=True)
     bits = (low > med).astype(np.uint64)
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)

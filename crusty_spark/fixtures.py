@@ -56,11 +56,15 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
-def gen_image_row(i: int) -> tuple:
-    """Deterministic image row i (used by tests and the Spark generator)."""
+def gen_image_row(i: int, sizes: list[int] | None = None) -> tuple:
+    """Deterministic image row i (used by tests and the Spark generator).
+    `sizes` narrows the (h, w) choices — the bench uses [32] so its
+    payload stage is CPU-bound rather than single-box-memory-bound."""
+    if sizes is None:
+        sizes = SIZES
     rng = np.random.default_rng(SEED + i)
-    h = SIZES[int(rng.integers(len(SIZES)))]
-    w = SIZES[int(rng.integers(len(SIZES)))]
+    h = sizes[int(rng.integers(len(sizes)))]
+    w = sizes[int(rng.integers(len(sizes)))]
     fmt = FMTS[i % len(FMTS)]
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     # phash is computed over the *decoded* pixels so the stored value is
@@ -76,14 +80,16 @@ def gen_image_row(i: int) -> tuple:
     return (f"img-{i:012d}", encode_image(px, fmt), w, h, fmt, caption, phash64(dec))
 
 
-def images_df(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+def images_df(
+    spark: SparkSession, n: int, partitions: int = 8, sizes: list[int] | None = None
+) -> DataFrame:
     """Distributed deterministic image table: spark.range -> mapInPandas.
     Each partition synthesizes its own rows — no driver materialization,
     so the same generator works at any scale."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [gen_image_row(int(i)) for i in pdf["id"]]
+            rows = [gen_image_row(int(i), sizes) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=IMAGES_SCHEMA.fieldNames())
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, IMAGES_SCHEMA)

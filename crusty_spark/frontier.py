@@ -308,9 +308,11 @@ def select_fetch_tasks(
     (depth, url_hash) — deterministic tie-break (SURVEY §2.6 O3). The
     window is bounded: only leased domains (<= dequeue_limit * shards)
     with <= concurrency rows surviving, so no skew concern."""
+    # no broadcast hint: at small lease counts AQE broadcasts anyway; at
+    # bench/prod scale (100k+ leased domains) a forced broadcast would
+    # serialize on the driver collect — let AQE pick per batch
     cands = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).join(
-        F.broadcast(allow.filter(F.col("allowed") > 0).select("domain", "allowed")),
-        "domain",
+        allow.filter(F.col("allowed") > 0).select("domain", "allowed"), "domain"
     )
     w = Window.partitionBy("domain").orderBy("depth", "url_hash")
     return (

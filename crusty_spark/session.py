@@ -29,6 +29,13 @@ def _ensure_pythonpath() -> None:
     pp = os.environ.get("PYTHONPATH", "")
     if root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{pp}" if pp else root
+    # One BLAS thread per Python worker: N workers x multithreaded GEMM
+    # oversubscribes the box and *anti-scales* (measured 3.5x slowdown
+    # at local[32] vs local[8] before this). Spark tasks are the
+    # parallelism unit; the math kernels must stay single-threaded.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
 
 
 def ship_package_zip(spark: SparkSession) -> str:
@@ -64,11 +71,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("CRUSTY_SPARK_DRIVER_MEM", "8g"))
+        # rows carry multi-KB image payloads: 64k-record Arrow batches
+        # would be ~1 GB per in-flight task and thrash the heap; 4k rows
+        # x 32 tasks stays ~2 GB total and pipelines JVM->Python
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("CRUSTY_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local-mode shuffle files all land on one device and serialize the
+    # executors at high parallelism; tmpfs removes the disk from the
+    # path, at which point compression is pure CPU overhead
+    if os.path.isdir("/dev/shm"):
+        b = (
+            b.config("spark.local.dir", "/dev/shm/crusty-spark-local")
+            .config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

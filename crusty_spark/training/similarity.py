@@ -1,0 +1,101 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k: the correctness baseline. The query side
+  is small (sampled ids); the join is a broadcast of queries against
+  the full corpus — one scan, no shuffle of the big side, rank via a
+  bounded per-query window.
+- LSH-bucketed top-k: the scale path. Both sides bucket by a sign-LSH
+  signature; candidates only within a bucket, so the corpus-side scan
+  shuffles once by bucket key instead of crossing with every query.
+  (An IVF variant is the same shape with learned centroids as bucket
+  keys.)
+
+Cosine is computed with zip_with + aggregate — JVM higher-order
+functions, no UDF. Scores are ranked on the rounded value with vec_id
+tie-break so results are stable across engines (DuckDB twin uses
+list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cos(a: str, b: str):
+    # compute in float64 (embeddings are float32 on disk) so the DuckDB
+    # twin (embedding::DOUBLE[]) sees bit-identical arithmetic
+    av = F.transform(F.col(a), lambda x: x.cast("double"))
+    bv = F.transform(F.col(b), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    def nrm(v):
+        return F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, v_: acc + v_)
+        )
+    return dot / (nrm(av) * nrm(bv))
+
+
+def cosine_topk(
+    emb: DataFrame, query_mod: int = 101, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbours for query vectors (vec_id % query_mod
+    == 0), excluding self. Returns (query_id, neighbor_id, cos, rank)."""
+    q = emb.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos("qv", "cv"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def sign_bucket(col, bits: int = 8):
+    """Sign-LSH bucket id from the first `bits` dims' signs."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(col, (j + 1).cast("int")) > 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, query_mod: int = 101, k: int = 5, bits: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket. Same output shape as cosine_topk; recall < 1 by design —
+    this is the plan that survives 10^9 vectors (bucket-local work)."""
+    e = emb.withColumn("bucket", sign_bucket(F.col("embedding"), bits))
+    q = e.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
