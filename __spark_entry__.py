@@ -273,6 +273,50 @@ def q_argmax_linked(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Scalar JSON extraction (events.props carries the reference's
+    opaque JSON payloads, SURVEY §2.8): sum of props.k per event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+def q_sld_normalize(spark, sf_dir):
+    """F12/C6: SLD collapse (rules.rs:28-34) over synthesized multi-level
+    hosts derived from orders."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.when(F.col("o_orderkey") % 3 == 0, "a.b.").otherwise(""),
+        F.lit("site"), (F.col("o_custkey") % 100).cast("string"), F.lit(".com"),
+    )
+    parts = F.split(host, r"\.")
+    sld = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    return (
+        o.select(host.alias("host"), sld.alias("sld"))
+        .groupBy("sld")
+        .agg(F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+def q_addr_sort(spark, sf_dir):
+    """O1: canonical address = lexicographic min of the resolved list
+    (types.rs:22-40), over hash-synthesized addr strings."""
+    o = _t(spark, sf_dir, "orders")
+    def ip(salt):
+        return F.concat(
+            (F.pmod(F.col("o_orderkey") * salt, F.lit(223)) + 1).cast("string"),
+            F.lit("."), F.pmod(F.col("o_custkey") * salt, F.lit(256)).cast("string"),
+            F.lit(".0.1"),
+        )
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.array_min(F.array(ip(7), ip(11), ip(13))).alias("canonical_addr"),
+    )
+
+
 def q_set_union_distinct(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
@@ -438,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_decayed": q_topk_decayed,
         "q_queue_rates": q_queue_rates,
         "q_argmax_linked": q_argmax_linked,
+        "q_json_props": q_json_props,
+        "q_sld_normalize": q_sld_normalize,
+        "q_addr_sort": q_addr_sort,
         "q_set_union_distinct": q_set_union_distinct,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -565,6 +612,27 @@ def oracle_sql() -> dict[str, str]:
         "q_set_union_distinct": """
             SELECT count(*) AS n_distinct FROM (
               SELECT c_custkey AS k FROM customer UNION SELECT s_suppkey FROM supplier)""",
+        "q_json_props": """
+            SELECT event_type, sum(json_extract_string(props, '$.k')::int) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "q_sld_normalize": """
+            SELECT sld, count(DISTINCT host) AS n_hosts FROM (
+              SELECT host,
+                     concat(string_split(host, '.')[-2], '.', string_split(host, '.')[-1]) AS sld
+              FROM (
+                SELECT concat(CASE WHEN o_orderkey % 3 = 0 THEN 'a.b.' ELSE '' END,
+                              'site', cast(o_custkey % 100 AS varchar), '.com') AS host
+                FROM orders))
+            GROUP BY sld""",
+        "q_addr_sort": """
+            SELECT o_orderkey AS id,
+                   list_min([
+                     concat(cast((o_orderkey * 7) % 223 + 1 AS varchar), '.', cast((o_custkey * 7) % 256 AS varchar), '.0.1'),
+                     concat(cast((o_orderkey * 11) % 223 + 1 AS varchar), '.', cast((o_custkey * 11) % 256 AS varchar), '.0.1'),
+                     concat(cast((o_orderkey * 13) % 223 + 1 AS varchar), '.', cast((o_custkey * 13) % 256 AS varchar), '.0.1')
+                   ]) AS canonical_addr
+            FROM orders""",
         "q_token_count": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,

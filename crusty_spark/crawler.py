@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from . import bloom as B
 from . import fetch as FE
 from . import frontier as FR
+from . import metrics as M
 from . import topk as TK
 from .fixtures import robots_df as default_robots
 from .fixtures import tld_whitelist_df
@@ -131,8 +132,21 @@ class Crawler:
 
     def checkpoint(self) -> None:
         d = self._epoch_dir(self.epoch)
+        if self.metrics_rows:
+            # metrics_db analog (init.sql:7-16): per-epoch driver timings
+            M.append_epoch_metrics(
+                self.ckpt,
+                "metrics_db",
+                self.spark.createDataFrame([self.metrics_rows[-1]]),
+                self.epoch,
+            )
         for name in self.TABLES:
-            self.state[name].write.mode("overwrite").parquet(os.path.join(d, name))
+            w = self.state[name].write.mode("overwrite")
+            if name == "frontier":
+                # shard-partitioned layout: epoch reads touching a shard
+                # subset prune at the file level (Iceberg bucket() analog)
+                w = w.partitionBy("shard")
+            w.parquet(os.path.join(d, name))
         self.robots.write.mode("overwrite").parquet(os.path.join(d, "robots"))
         manifest = {"epoch": self.epoch, "tables": list(self.TABLES)}
         tmp = os.path.join(self.ckpt, "_manifest.tmp")
@@ -290,6 +304,13 @@ class Crawler:
 
         n_enq = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).count()
 
+        # metrics_* appends (ClickHouse-dashboard analog, init.sql:7-71)
+        M.append_epoch_metrics(self.ckpt, "metrics_task", M.task_metrics(parsed, epoch), epoch)
+        M.append_epoch_metrics(self.ckpt, "metrics_job", M.job_metrics(done, epoch), epoch)
+        M.append_epoch_metrics(
+            self.ckpt, "metrics_queue", M.queue_metrics(frontier, leases_next, epoch), epoch
+        )
+
         self.state.update(
             frontier=frontier,
             leases=leases_next,
@@ -298,20 +319,9 @@ class Crawler:
             domain_links=domain_links,
         )
         self.epoch = epoch
-        self.checkpoint()
-
+        # metrics_db analog row (init.sql:7-16) — appended before the
+        # snapshot so the checkpoint persists this epoch's timing
         took = time.monotonic() - t0
-        stats = EpochStats(
-            epoch=epoch,
-            dequeued=n_dequeued,
-            fetched=n_fetched,
-            enqueued_tasks=0,
-            discovered_domains=n_disc,
-            finished=n_finished,
-            queued_after=n_enq,
-            took_s=took,
-        )
-        # metrics_queue/metrics_db analog rows (init.sql:7-24)
         self.metrics_rows.append(
             {
                 "epoch": epoch,
@@ -320,8 +330,20 @@ class Crawler:
                 "discovered": n_disc,
                 "finished": n_finished,
                 "queued": n_enq,
-                "took_ms": int(took * 1000),
+                "took_ms": max(int(took * 1000), 1),
             }
+        )
+        self.checkpoint()
+
+        stats = EpochStats(
+            epoch=epoch,
+            dequeued=n_dequeued,
+            fetched=n_fetched,
+            enqueued_tasks=0,
+            discovered_domains=n_disc,
+            finished=n_finished,
+            queued_after=n_enq,
+            took_s=time.monotonic() - t0,
         )
         for df in (leases, allow, tasks, parsed, done):
             df.unpersist()

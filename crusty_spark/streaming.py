@@ -1,0 +1,82 @@
+"""Structured Streaming surface.
+
+The crawl loop itself is a driver-side micro-batch iteration (SURVEY
+§7: the frontier is its own feedback loop — epoch k's output feeds
+epoch k+1 — which a single streaming query cannot express, and
+snapshot-per-epoch gives exact resumability). What *is* stream-shaped
+in the reference is the metrics plane: channel-depth sampling every
+second and batched metric inserts (reference crusty.rs:10-55,
+clickhouse_utils.rs:37-121). This module expresses that plane as a
+real Structured Streaming pipeline: an event stream -> watermarked
+tumbling-window aggregation -> sink per trigger, the Spark-native
+replacement for crusty's permit-emitter + relabuf batching
+(crusty.rs:216-230, conf/default.yaml:62-65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def task_event_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """Synthetic metrics_task event stream from the rate source: each
+    tick becomes a fetch-outcome event with a hash-derived status,
+    shaped like types.rs:170-197's TaskMeasurement rows."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    r = F.pmod(F.xxhash64("value"), F.lit(50))
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("task_id"),
+        F.when(r == 0, 404).when(r == 1, 500).otherwise(200).alias("status"),
+        (F.pmod(F.xxhash64("value", F.lit(1)), F.lit(20000)) + 500).alias("read_size_b"),
+    )
+
+
+def windowed_task_rates(events: DataFrame, window: str = "2 seconds", watermark: str = "2 seconds") -> DataFrame:
+    """Watermarked tumbling-window pages/RX aggregation — the streaming
+    twin of the Grafana pages/sec panel (crusty.json:1682). Late rows
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.when(F.col("status") == 200, "ok").otherwise("error").alias("term_by"),
+        )
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum("read_size_b").alias("rx_bytes"),
+        )
+        .select(F.col("w.start").alias("window_start"), "term_by", "pages", "rx_bytes")
+    )
+
+
+def run_metrics_stream(spark: SparkSession, seconds: float = 15.0, rows_per_second: int = 500) -> DataFrame:
+    """NOTE: append mode emits a window only after the watermark passes
+    its end AND a later trigger fires — budget `seconds` accordingly
+    (>= ~3x window + watermark)."""
+    return _run_metrics_stream(spark, seconds, rows_per_second)
+
+
+def _run_metrics_stream(spark: SparkSession, seconds: float, rows_per_second: int) -> DataFrame:
+    """Run the metrics stream into an in-memory sink for `seconds`,
+    return the collected windows as a batch DataFrame."""
+    import time
+    import uuid
+
+    name = f"metrics_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_task_rates(task_event_stream(spark, rows_per_second))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # NOTE: no processAllAvailable() — the rate source is unbounded,
+        # so "all available" never arrives; run wall-clock then stop.
+        time.sleep(seconds)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crusty_spark import metrics as M
+from crusty_spark.crawler import Crawler
+from crusty_spark.fixtures import images_df, seed_urls
+from crusty_spark.frontier import CrawlConfig
+from crusty_spark.streaming import run_metrics_stream
+
+CFG = CrawlConfig(
+    shard_total=4, dequeue_limit=100, max_depth=4, page_budget=5,
+    seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt_metrics"))
+    images = images_df(spark, 48).cache()
+    c = Crawler(spark, images, 48, ckpt, cfg=CFG)
+    c.init_empty()
+    c.seed(seed_urls(10))
+    stats = c.run(3, stop_when_idle=False)
+    return c, stats, ckpt
+
+
+def test_metrics_task_rows_match_fetch_counts(spark, crawled):
+    c, stats, ckpt = crawled
+    tm = M.read_metrics(spark, ckpt, "metrics_task")
+    per_epoch = {r.epoch: r.n for r in tm.groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    for s in stats:
+        assert per_epoch.get(s.epoch, 0) == s.fetched
+
+
+def test_metrics_job_rows_match_finished(spark, crawled):
+    c, stats, ckpt = crawled
+    jm = M.read_metrics(spark, ckpt, "metrics_job")
+    per_epoch = {r.epoch: r.n for r in jm.groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    for s in stats:
+        assert per_epoch.get(s.epoch, 0) == s.finished
+
+
+def test_dashboard_aggregates(spark, crawled):
+    c, stats, ckpt = crawled
+    pages = M.pages_per_epoch(M.read_metrics(spark, ckpt, "metrics_task"))
+    rows = pages.collect()
+    assert all(r.pages > 0 for r in rows)
+    ok = sum(r.pages for r in rows if r.term_by == "ok")
+    err = sum(r.pages for r in rows if r.term_by == "error")
+    total = sum(s.fetched for s in stats)
+    assert ok + err == total
+    assert ok > err  # ~94% of statuses are 200 by construction
+
+    qt = M.queue_throughput(M.read_metrics(spark, ckpt, "metrics_queue")).collect()
+    assert {r.epoch for r in qt} == {s.epoch for s in stats}
+
+
+def test_metrics_db_timings(spark, crawled):
+    c, stats, ckpt = crawled
+    db = M.read_metrics(spark, ckpt, "metrics_db").collect()
+    assert len(db) == len(stats)
+    assert all(r.took_ms > 0 for r in db)
+
+
+def test_streaming_windowed_rates(spark):
+    out = run_metrics_stream(spark, seconds=15.0, rows_per_second=400)
+    rows = out.collect()
+    assert len(rows) >= 1, "at least one finalized window"
+    assert all(r.pages > 0 and r.rx_bytes > 0 for r in rows)
+    # ~2% of hash-derived statuses are non-200; ok windows must dominate
+    ok = sum(r.pages for r in rows if r.term_by == "ok")
+    err = sum(r.pages for r in rows if r.term_by == "error")
+    assert ok > err
