@@ -461,9 +461,12 @@ def _minhash_tail(h: str) -> str:
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-      SELECT c.doc_a, c.doc_b, j.jaccard
-      FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-      WHERE j.jaccard >= 0.3""".format(mh_cols=mh_cols, band_selects=band_selects)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sh, sb.sh))::double
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
+      WHERE jaccard >= 0.3""".format(mh_cols=mh_cols, band_selects=band_selects)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -509,10 +512,12 @@ def oracle_sql() -> dict[str, str]:
     stop_en = "['the','and','of','to','a','in','is','it','that','for']"
     stop_de = "['der','die','das','und','ist','nicht','ein','mit','zu','den']"
     stop_fr = "['le','la','les','et','est','un','une','des','que','pour']"
-    shingle_cte = f"""
+    shingle_base = f"""
       WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
       s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
-      ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s)
+    """
+    shingle_cte = shingle_base + """,
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -674,7 +679,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_jaccard_pairs": shingle_cte
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3",
-        "q_minhash_lsh": shingle_cte + _minhash_tail(h),
+        "q_minhash_lsh": shingle_base + _minhash_tail(h),
         "q_simhash": f"""
             SELECT doc_id,
                    sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash

@@ -42,7 +42,7 @@ HEADLINE = [
     "q_embed_neardup",
 ]
 
-FRONTIER_ROWS = int(os.environ.get("BENCH_FRONTIER_ROWS", 2_000_000))
+FRONTIER_ROWS = int(os.environ.get("BENCH_FRONTIER_ROWS", 8_000_000))
 N_IMAGES = 512
 
 
@@ -196,15 +196,23 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        lo = max(cpus // 4, 1)
-        r_hi = frontier_pops_bench(cpus, FRONTIER_ROWS)
+        # CPU-pinned subprocesses at N vs 4N cores. The high level is
+        # capped at half the box: a pinned "executor" still needs its
+        # Python workers on the same cores, and a fully saturated box
+        # measures the memory bus + OS, not parallel scaling (a real 4N
+        # cluster adds nodes, not contention). Measured: local[32] on
+        # this 32-CPU box is *slower* than local[16].
+        box = os.cpu_count() or cpus
+        hi = min(cpus, max(box // 2, 4))
+        lo = max(hi // 4, 1)
+        r_hi = frontier_pops_bench(hi, FRONTIER_ROWS)
         r_lo = frontier_pops_bench(lo, FRONTIER_ROWS)
-        eff = (r_hi["pops_per_sec"] / r_lo["pops_per_sec"]) / (cpus / lo)
+        eff = (r_hi["pops_per_sec"] / r_lo["pops_per_sec"]) / (hi / lo)
         result["frontier_pops_per_sec"] = r_hi["pops_per_sec"]
         result["scaling"] = {
             "low": r_lo,
             "high": r_hi,
-            "parallelism_ratio": cpus / lo,
+            "parallelism_ratio": hi / lo,
             "efficiency": round(eff, 3),
         }
 

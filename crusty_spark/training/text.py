@@ -84,12 +84,9 @@ def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
     """64-bit document fingerprint: min shared-hash over word
     3-gram shingles (a min-hash — the rolling-hash fingerprint family).
     Empty/short docs fall back to hashing the whole text."""
-    toks = tokens_of(F.col("text"))
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
-    )
+    from .dedup import shingles_from_tokens
+
+    shingles = shingles_from_tokens(tokens_of(F.col("text")), shingle)
     mins = F.array_min(F.transform(shingles, lambda s: h64(s)))
     return docs.select(
         "doc_id", F.coalesce(mins, h64(F.col("text"))).alias("fingerprint")
