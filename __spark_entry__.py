@@ -370,6 +370,10 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_mod=101, k=5, bits=8)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_centroids=16, query_mod=101, k=5)
+
+
 # ---- non-SQL-expressible (rows-only checks) ----
 
 
@@ -500,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_bloom_gate": q_bloom_gate,
         "q_crawl_epoch": q_crawl_epoch,
         "q_image_decode": q_image_decode,
@@ -724,6 +729,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.qv, c.v), 6) AS cos
               FROM q JOIN e c ON c.sig = q.sig AND c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "q_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) ASC,
+                                  c.cid ASC) AS rn
+                FROM e, cents c)
+              WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, cid FROM assigned WHERE vec_id % 101 = 0),
+            scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qv, a.v), 6) AS cos
+              FROM q JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, cos, rank FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

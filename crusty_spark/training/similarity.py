@@ -77,6 +77,59 @@ def sign_bucket(col, bits: int = 8):
     )
 
 
+def ivf_topk(
+    emb: DataFrame, n_centroids: int = 16, query_mod: int = 101, k: int = 5
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (deterministic codebook: the first `n_centroids` vectors by id —
+    a real deployment plugs in trained centroids, the plan shape is
+    identical), then search only the query's inverted list. The
+    centroid table broadcasts; the corpus shuffles once by centroid id.
+    """
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round(dist, 6).asc(), F.col("cid").asc())
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = assigned.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid")
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv2"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    def nrm(col):
+        return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv2"))), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame, query_mod: int = 101, k: int = 5, bits: int = 8
 ) -> DataFrame:

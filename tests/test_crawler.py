@@ -110,6 +110,31 @@ def test_resume_equals_uninterrupted(spark, tmp_path, crawl, sim):
     assert engine_urls == sim_urls
 
 
+def test_equality_holds_under_different_config(spark, tmp_path):
+    """Same equality property under a second config (different sharding,
+    concurrency-1 politeness, tighter budget) — guards against rules
+    that only agree under the primary test config."""
+    cfg2 = CrawlConfig(
+        shard_total=8, dequeue_limit=50, domain_concurrency=1,
+        lease_ttl_epochs=3, max_depth=3, page_budget=3,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    seeds2 = seed_urls(8)
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_cfg2"), cfg=cfg2)
+    c.init_empty()
+    c.seed(seeds2)
+    stats = c.run(3, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfg2)
+    s.seed(seeds2)
+    sim_stats = s.run(3)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.finished, got.queued_after) == (
+            want["dequeued"], want["fetched"], want["finished"], want["queued_after"]
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
+
+
 def test_topk_matches_simulator(crawl, sim):
     c, _, _, _ = crawl
     s, _ = sim
