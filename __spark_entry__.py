@@ -359,7 +359,19 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    return D.embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.9, sign_bits=12)
+    """The raw fixture has no near-dups at 0.9 (max bucketed cos 0.40),
+    which made this check vacuous (0 rows == 0 rows). Plant a scaled
+    twin (x1.5, same sign bucket, cos exactly 1.0) for every 50th vector
+    — both engines derive the twins identically — so the LSH-block +
+    cosine-verify join is actually exercised."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return D.embedding_near_dup(e.unionByName(twins), threshold=0.9, sign_bits=12)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -385,7 +397,10 @@ def q_bloom_gate(spark, sf_dir):
         (F.col("c_custkey") % 4).cast("int").alias("shard"),
         F.concat(F.lit("site"), F.col("c_custkey").cast("string"), F.lit(".com")).alias("name"),
     )
-    bloom = bloom_insert(empty_bloom(spark), seen, capacity=100_000, err=1e-9)
+    # err 1e-15: the oracle is an EXACT anti-join, so a single Bloom
+    # false positive would permanently fail the gate; at ~50k probes the
+    # any-FP probability is ~5e-11 — provably below noise
+    bloom = bloom_insert(empty_bloom(spark), seen, capacity=100_000, err=1e-15)
     incoming = c.select(
         (F.col("c_custkey") % 4).cast("int").alias("shard"),
         F.concat(F.lit("site"), F.col("c_custkey").cast("string"), F.lit(".com")).alias("domain"),
@@ -623,7 +638,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_distinct FROM (
               SELECT c_custkey AS k FROM customer UNION SELECT s_suppkey FROM supplier)""",
         "q_json_props": """
-            SELECT event_type, sum(json_extract_string(props, '$.k')::int) AS sum_k,
+            -- DuckDB sum(int) is HUGEINT (lands as float64 in the compare);
+            -- Spark sum(int) is bigint — cast so the value hash agrees
+            SELECT event_type,
+                   cast(sum(json_extract_string(props, '$.k')::int) AS bigint) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type""",
         "q_sld_normalize": """
@@ -687,7 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": shingle_base + _minhash_tail(h),
         "q_simhash": f"""
             SELECT doc_id,
-                   sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+                   cast(sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END)
+                        AS bigint) AS simhash
             FROM (
               SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
               FROM (SELECT doc_id, {h.format(x='tok')} AS th
@@ -696,12 +715,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, bit)
             GROUP BY doc_id""",
         "q_embed_neardup": """
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v,
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            twins AS (
+              SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+              FROM base WHERE vec_id % 50 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+            e AS (
+              SELECT vec_id, v,
                      list_sum(list_transform(range(0, 12),
-                       j -> CASE WHEN embedding[cast(j + 1 AS int)] > 0
+                       j -> CASE WHEN v[cast(j + 1 AS int)] > 0
                                  THEN (1::bigint << cast(j AS int)) ELSE 0 END)) AS sig
-              FROM embeddings)
+              FROM allv)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id

@@ -107,17 +107,14 @@ def _to_gray_32(pixels: np.ndarray) -> np.ndarray:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """Classic DCT pHash: signed 64-bit (storable in a Spark LongType)."""
-    g = _to_gray_32(pixels)
-    d = _DCT @ g @ _DCT.T
-    low = d[:8, :8].flatten()
-    med = np.median(low[1:])  # exclude DC term from the median
-    bits = (low > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    u = int(val)
-    return u - (1 << 64) if u >= (1 << 63) else u
+    """Classic DCT pHash: signed 64-bit (storable in a Spark LongType).
+
+    Delegates to ``phash64_batch`` on a 1-element stack so the scalar
+    path (fixtures, simulator) and the batch path (fetch UDF) share an
+    IDENTICAL floating-point operation order — a full-width DCT in a
+    different association could flip a bit whose DCT coefficient sits
+    within ulps of the median threshold."""
+    return int(phash64_batch(_to_gray_32(pixels)[None, :, :])[0])
 
 
 def phash64_batch(gray32_stack: np.ndarray) -> np.ndarray:

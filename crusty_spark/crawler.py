@@ -345,7 +345,7 @@ class Crawler:
             queued_after=n_enq,
             took_s=time.monotonic() - t0,
         )
-        for df in (leases, allow, tasks, parsed, done):
+        for df in (leases, allow, tasks, parsed, done, disc_id):
             df.unpersist()
         return stats
 

@@ -138,18 +138,34 @@ def enqueue_tasks(
 ) -> DataFrame:
     """Insert-if-absent of task rows on (domain, url_hash) — the per-job
     URL dedup (task_filters::HashSetDedup, rules.rs:59-60,74) plus the
-    enqueue idempotence of lib.rs:29-107. Returns the new frontier."""
+    enqueue idempotence of lib.rs:29-107. Returns the new frontier.
+
+    Within-batch duplicates reduce to the MIN-DEPTH candidate (tie-break
+    by the remaining struct fields, which are functions of the key): a
+    deterministic rule shared with simulator.CrawlSimulator._enqueue_min
+    — dropDuplicates would keep an arbitrary row and depth drives both
+    dequeue argmin and fetch ordering."""
     blocked = F.col("blocked") if "blocked" in candidates.columns else F.lit(False)
+    best = F.min(
+        F.struct(
+            F.col("depth").alias("depth"), F.col("url").alias("url"),
+            F.col("tld").alias("tld"), F.col("addr_key").alias("addr_key"),
+            F.col("shard").alias("shard"), blocked.alias("blocked"),
+        )
+    ).alias("c")
     fresh = (
-        candidates.dropDuplicates(["domain", "url_hash"])
+        candidates.groupBy("domain", "url_hash")
+        .agg(best)
         .join(
             frontier.select("domain", "url_hash"), ["domain", "url_hash"], "left_anti"
         )
         .select(
-            "url", "url_hash", "domain", "tld", "addr_key", "shard", "depth",
+            F.col("c.url").alias("url"), "url_hash", "domain",
+            F.col("c.tld").alias("tld"), F.col("c.addr_key").alias("addr_key"),
+            F.col("c.shard").alias("shard"), F.col("c.depth").alias("depth"),
             F.lit("queued").alias("state"),
             F.lit(epoch).cast("int").alias("enqueued_epoch"),
-            blocked.alias("blocked"),
+            F.col("c.blocked").alias("blocked"),
         )
     )
     return frontier.unionByName(fresh)

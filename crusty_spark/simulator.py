@@ -84,6 +84,20 @@ class SimCrawler:
         path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
         return any(path.startswith(d) for d in dis)
 
+    def _enqueue_min(self, cands: list[tuple[str, str, int]]) -> None:
+        """Batch enqueue with the engine's within-batch rule: duplicate
+        (domain, url_hash) candidates reduce to the MIN-DEPTH one
+        (frontier.enqueue_tasks groupBy-min-struct). Cross-batch the
+        first epoch still wins (insert-if-absent)."""
+        best: dict[tuple[str, int], tuple[str, str, int]] = {}
+        for url, dom, depth in cands:
+            key = (dom, spark_xxhash64_str(url))
+            cur = best.get(key)
+            if cur is None or depth < cur[2]:
+                best[key] = (url, dom, depth)
+        for url, dom, depth in best.values():
+            self._enqueue(url, dom, depth)
+
     def _enqueue(self, url: str, domain: str, depth: int) -> None:
         uh = spark_xxhash64_str(url)
         key = (domain, uh)
@@ -212,9 +226,10 @@ class SimCrawler:
                 ext_dedup.add(e)
                 external_cands.append(e)
 
-        # internal enqueue
-        for dom, path, depth in internal_cands:
-            self._enqueue(f"http://{dom}{path}", dom, depth)
+        # internal enqueue (min-depth rule for within-batch duplicates)
+        self._enqueue_min(
+            [(f"http://{dom}{path}", dom, depth) for dom, path, depth in internal_cands]
+        )
 
         # discovery enqueue: minus known frontier domains, minus seen
         frontier_domains = {t.domain for t in self.tasks.values()}

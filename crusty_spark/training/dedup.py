@@ -127,10 +127,20 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.5,
     k: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: candidates share a band key;
     candidates are then verified with exact Jaccard. Returns
-    (doc_a, doc_b, jaccard) — the scale-path near-dup detector."""
+    (doc_a, doc_b, jaccard) — the scale-path near-dup detector.
+
+    ``max_bucket`` bounds the candidate blow-up of degenerate band keys
+    (e.g. millions of near-empty docs landing in one bucket would make
+    the self-join quadratic): buckets larger than the cap are thinned to
+    ~max_bucket deterministic representatives by hash-sampling doc_ids —
+    no sort or window, just one extra map-side-combinable count. The
+    capped bucket still surfaces its duplicate cluster through the kept
+    representatives; recall inside mega-buckets is traded for a hard
+    O(max_bucket^2) bound per bucket."""
     sig = minhash_signatures(docs, n_hashes, k)
     n_bands = n_hashes // band_size
     # one projection + explode, NOT a per-band union: a union would
@@ -155,8 +165,20 @@ def minhash_lsh_pairs(
     # persist so the shingle->signature aggregation runs once (lazy, tiny:
     # n_docs x n_bands rows)
     bands = bands.persist()
-    x = bands.alias("x")
-    y = bands.alias("y")
+    capped = bands
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n_in_bucket"))
+        keep_every = F.ceil(F.col("n_in_bucket") / F.lit(max_bucket)).cast("long")
+        capped = (
+            bands.join(sizes, ["band", "band_key"])
+            .filter(
+                (F.col("n_in_bucket") <= max_bucket)
+                | (F.pmod(F.xxhash64(F.col("doc_id").cast("string")), keep_every) == 0)
+            )
+            .drop("n_in_bucket")
+        )
+    x = capped.alias("x")
+    y = capped.alias("y")
     cand = (
         x.join(
             y,
@@ -175,7 +197,7 @@ def minhash_lsh_pairs(
     sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .select(
@@ -187,6 +209,13 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (small) verified-pair result, then drop the cached
+    # intermediates — a long-running pipeline calling this repeatedly
+    # must not accumulate persisted bands/shingle sets
+    out = out.localCheckpoint(eager=True)
+    bands.unpersist()
+    sets.unpersist()
+    return out
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

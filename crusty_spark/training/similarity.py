@@ -98,12 +98,20 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.round(dist, 6).asc(), F.col("cid").asc())
+    # argmin centroid as ONE aggregation (min over a (dist, cid, v)
+    # struct — v rides along, never compared: (dist, cid) is unique per
+    # group), instead of row_number over the corpus x centroids cross:
+    # no per-vector sort, map-side combinable, 16x less post-cross data
+    best = F.min(
+        F.struct(
+            F.round(dist, 6).alias("d"), F.col("cid").alias("cid"), F.col("v").alias("v")
+        )
+    ).alias("best")
     assigned = (
         e.join(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cid").alias("cid"))
     )
     q = assigned.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"

@@ -29,19 +29,24 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
+    # Type-sensitive for numbers: the driver hashes values with their
+    # dtype, so an int64 9707 vs a float64 9707.0 (e.g. DuckDB HUGEINT
+    # sum landing as float) MUST mismatch here too — tagging floats
+    # keeps this twin predictive of the driver, where a plain round()
+    # would let int == float slip through.
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        return ("f", round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
+            return ("f", round(float(v), 9))
     except ImportError:
         pass
     return v
