@@ -37,6 +37,8 @@ def _h64(col):
 
 
 _H64_SQL = "cast(concat('0x', substr(md5({x}), 1, 15)) as bigint)"
+# the same hash as a Spark-SQL expression string (for F.expr contexts)
+_H64_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 # synthetic frontier derived from customer — identical text in both engines
 def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +319,76 @@ def q_addr_sort(spark, sf_dir):
     )
 
 
+def q_redirect_chain(spark, sf_dir):
+    """F9 redirect semantics (status_filters::Redirect rules.rs:79-86,
+    max_redirect=5 conf/default.yaml:196) re-derived with the shared
+    md5-based h64 so DuckDB runs the identical <=5-hop chain; the
+    engine's xxhash64 kernel is covered by simulator equality +
+    tests/test_redirects.py."""
+    f = _frontier_df(spark, sf_dir)
+    df = f.select(_h64(F.col("url")).alias("uh"), F.lit(0).cast("int").alias("hops"))
+    for _ in range(5):
+        r = F.pmod(F.shiftrightunsigned(F.col("uh"), 17), F.lit(50))
+        red = (r == 2) | (r == 3)
+        df = df.select(
+            F.when(red, _h64(F.col("uh").cast("string"))).otherwise(F.col("uh")).alias("uh"),
+            F.when(red, F.col("hops") + 1).otherwise(F.col("hops")).cast("int").alias("hops"),
+        )
+    r = F.pmod(F.shiftrightunsigned(F.col("uh"), 17), F.lit(50))
+    status = (
+        F.when(r == 0, F.lit(404))
+        .when(r == 1, F.lit(500))
+        .when((r == 2) | (r == 3), F.lit(599))
+        .otherwise(F.lit(200))
+    )
+    return (
+        df.select(status.alias("final_status"), "hops")
+        .groupBy("final_status", "hops")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Image pHash hamming near-dup (training/dedup.phash_near_dup) over
+    synthetic 60-bit hashes derived from orders: groups of 4 orderkeys
+    share a base hash with <=1 planted bit-flip each, so every in-group
+    pair is within hamming 2 and MUST be found (pigeonhole recall 1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 4)
+    ph = F.expr(
+        "case when o_orderkey % 4 = 0 then {base} "
+        "else {base} ^ shiftleft(cast(1 as bigint), cast((o_orderkey * 7) % 60 as int)) end".format(
+            base=_H64_SPARK.format(x="cast(o_orderkey div 4 as string)")
+        )
+    )
+    imgs = o.select(F.col("o_orderkey").alias("img_id"), ph.alias("phash"))
+    return D.phash_near_dup(imgs, id_col="img_id", phash_col="phash", max_hamming=3)
+
+
+def q_topk_sld(spark, sf_dir):
+    """SLD-keyed link topk (F12/F13 wiring, rules.rs:28-43): multi-label
+    linked hosts collapse to their SLD before hit counting."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.when(F.col("o_orderkey") % 3 == 0, "blog.").otherwise(""),
+        F.lit("site"), (F.col("o_custkey") % 50).cast("string"), F.lit("."),
+        F.element_at(F.array(F.lit("com"), F.lit("net")), (F.col("o_custkey") % 2 + 1).cast("int")),
+    )
+    parts = F.split(host, r"\.")
+    sld = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    hits = (
+        o.select(sld.alias("sld"))
+        .groupBy("sld")
+        .agg(F.count("*").alias("hits"))
+        .withColumn("tld", F.upper(F.element_at(F.split("sld", r"\."), -1)))
+    )
+    w = Window.partitionBy("tld").orderBy(F.desc("hits"), F.asc("sld"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("tld", "sld", "hits", "rank")
+    )
+
+
 def q_set_union_distinct(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
@@ -455,6 +527,27 @@ def q_image_decode(spark, sf_dir):
     return images_df(spark, 48).mapInPandas(check, "image_id string, fmt string, phash_ok int")
 
 
+def _redirect_chain_sql(h: str) -> str:
+    """DuckDB twin of q_redirect_chain: the 5 hops unrolled as CTEs."""
+    red = "((uh >> 17) % 50) IN (2, 3)"
+    hops = [f"h0 AS (SELECT {h.format(x='url')} AS uh, 0 AS hops FROM ({_FRONTIER_SQL}))"]
+    for i in range(5):
+        hops.append(
+            f"""h{i + 1} AS (SELECT
+              CASE WHEN {red} THEN {h.format(x='cast(uh AS varchar)')} ELSE uh END AS uh,
+              CASE WHEN {red} THEN hops + 1 ELSE hops END AS hops
+              FROM h{i})"""
+        )
+    return """WITH {ctes}
+      SELECT final_status, hops, count(*) AS n FROM (
+        SELECT CASE WHEN ((uh >> 17) % 50) = 0 THEN 404
+                    WHEN ((uh >> 17) % 50) = 1 THEN 500
+                    WHEN ((uh >> 17) % 50) IN (2, 3) THEN 599
+                    ELSE 200 END AS final_status,
+               cast(hops AS int) AS hops
+        FROM h5) GROUP BY 1, 2""".format(ctes=",\n      ".join(hops))
+
+
 def _minhash_tail(h: str) -> str:
     """DuckDB SQL for the MinHash-LSH oracle, appended to the shingle
     CTE: 8 min-hashes, 4 bands of 2, candidate pairs, jaccard verify."""
@@ -506,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax_linked": q_argmax_linked,
         "q_json_props": q_json_props,
         "q_sld_normalize": q_sld_normalize,
+        "q_redirect_chain": q_redirect_chain,
+        "q_phash_neardup": q_phash_neardup,
+        "q_topk_sld": q_topk_sld,
         "q_addr_sort": q_addr_sort,
         "q_set_union_distinct": q_set_union_distinct,
         "q_token_count": q_token_count,
@@ -653,6 +749,41 @@ def oracle_sql() -> dict[str, str]:
                               'site', cast(o_custkey % 100 AS varchar), '.com') AS host
                 FROM orders))
             GROUP BY sld""",
+        "q_redirect_chain": _redirect_chain_sql(h),
+        "q_phash_neardup": """
+            WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 4),
+            ph AS (
+              SELECT o_orderkey AS img_id,
+                     CASE WHEN o_orderkey % 4 = 0 THEN {hb}
+                          ELSE xor({hb},
+                                   (1::bigint << cast((o_orderkey * 7) % 60 AS int))) END AS phash
+              FROM o),
+            bands AS (
+              SELECT img_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+              FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.img_id AS id_a, a.phash AS ph_a,
+                              x.img_id AS id_b, x.phash AS ph_b
+              FROM bands a JOIN bands x
+                ON a.band = x.band AND a.key = x.key AND a.img_id < x.img_id)
+            SELECT id_a, id_b, cast(bit_count(xor(ph_a, ph_b)) AS int) AS hamming
+            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".format(
+            hb=h.format(x="cast(o_orderkey // 4 AS varchar)")
+        ),
+        "q_topk_sld": """
+            SELECT tld, sld, hits, rank FROM (
+              SELECT tld, sld, hits,
+                     row_number() OVER (PARTITION BY tld ORDER BY hits DESC, sld ASC) AS rank
+              FROM (
+                SELECT sld, upper(string_split(sld, '.')[-1]) AS tld, count(*) AS hits FROM (
+                  SELECT concat(string_split(host, '.')[-2], '.',
+                                string_split(host, '.')[-1]) AS sld FROM (
+                    SELECT concat(CASE WHEN o_orderkey % 3 = 0 THEN 'blog.' ELSE '' END,
+                                  'site', cast(o_custkey % 50 AS varchar), '.',
+                                  (['com','net'])[cast(o_custkey % 2 + 1 AS int)]) AS host
+                    FROM orders))
+                GROUP BY sld))
+            WHERE rank <= 10""",
         "q_addr_sort": """
             SELECT o_orderkey AS id,
                    list_min([

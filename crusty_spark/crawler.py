@@ -70,11 +70,16 @@ class Crawler:
         checkpoint_dir: str,
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
+        payload_in_udf: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.images = images
         self.n_images = n_images
+        # UDF-resident payload fetch (see fetch.payload_store): the
+        # faithful fetcher model when the synthetic payload universe is
+        # broadcastable; pass False when `images` is a genuine big table
+        self.store_bc = FE.payload_store(images) if payload_in_udf else None
         self.ckpt = checkpoint_dir
         self.robots = robots
         self.tlds = tld_whitelist_df(spark)
@@ -193,7 +198,10 @@ class Crawler:
 
         # S4: fetch + parse
         tasks = FR.select_fetch_tasks(frontier, allow, cfg).cache()
-        parsed = FE.fetch_and_parse(tasks, self.images, self.n_images).cache()
+        parsed = FE.fetch_and_parse(
+            tasks, self.images, self.n_images, store_bc=self.store_bc,
+            max_redirect=cfg.max_redirect,
+        ).cache()
         n_fetched = parsed.count()
 
         # mark fetched tasks done. The running frontier is referenced by
@@ -233,7 +241,7 @@ class Crawler:
         frontier = FR.enqueue_tasks(frontier, internal_tasks, epoch).localCheckpoint()
 
         # F11/J1/J7: discovery -> bloom gate -> new jobs
-        disc = FE.discovery_candidates(parsed, self.tlds)
+        disc = FE.discovery_candidates(parsed, self.tlds, cfg.second_level_only)
         disc_id = FR.identity_for_urls(
             disc.select(F.concat(F.lit("http://"), F.col("domain"), F.lit("/")).alias("url")),
             cfg,
@@ -248,20 +256,37 @@ class Crawler:
         disc_id = FE.robots_blocked_col(disc_id, self.robots)
         frontier = FR.enqueue_tasks(frontier, disc_id, epoch).localCheckpoint()
 
-        # link-graph state: per-job linked-domain set (rules.rs:12-48,
-        # F13 self-link suppression happens in discovery_candidates)
+        # link-graph state: per-job linked-domain set (rules.rs:12-48).
+        # Linked names pass through transform_domain and the self-link
+        # suppression compares the TRANSFORMED names (rules.rs:36-43):
+        # under second_level_only, blog.foo.com -> foo.com is a
+        # suppressed self-link, exactly like the reference.
+        from .urls import transform_domain
+
+        slo = cfg.second_level_only
         new_links = (
             parsed.select(
-                F.col("domain"), F.explode("external_domains").alias("linked")
+                F.col("domain"), F.explode("external_domains").alias("linked_raw")
             )
-            .filter(F.col("linked") != F.col("domain"))
+            .select(
+                "domain",
+                transform_domain(F.col("linked_raw"), slo).alias("linked"),
+            )
+            .filter(F.col("linked") != transform_domain(F.col("domain"), slo))
             .distinct()
             .join(
                 leases.select("domain", "shard"), "domain", "left"
             )
             .select("domain", F.coalesce("shard", F.lit(0)).alias("shard"), "linked")
         )
-        domain_links = st["domain_links"].unionByName(new_links).distinct()
+        # append-only state growth: dedup ONLY the new links against the
+        # existing set (left_anti) instead of re-distincting the whole
+        # accumulated link graph — a full distinct is O(total links)
+        # shuffle per epoch, so epoch cost would grow with crawl age
+        fresh_links = new_links.join(
+            st["domain_links"].select("domain", "linked"), ["domain", "linked"], "left_anti"
+        )
+        domain_links = st["domain_links"].unionByName(fresh_links)
 
         # finish: release leases, seen-commit, link-hit emit
         done = FR.finish_domains(frontier, leases, updated, epoch, cfg).cache()
@@ -301,6 +326,17 @@ class Crawler:
             )
             st["domain_hits"] = TK.add_hits(st["domain_hits"], counts, epoch, cfg.topk_decay)
             domain_links = domain_links.join(done.select("domain"), "domain", "left_anti")
+            # persisted domain_topk history (types.rs:400-409,
+            # init.sql:65-71): one snapshot per consume epoch so the
+            # dashboard's argMax(hits, created_at) has stored history
+            M.append_epoch_metrics(
+                self.ckpt,
+                "metrics_topk",
+                TK.topk(st["domain_hits"], cfg.topk_k).withColumn(
+                    "epoch", F.lit(epoch).cast("int")
+                ),
+                epoch,
+            )
 
         n_enq = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).count()
 

@@ -44,17 +44,86 @@ from .hashing import xxh64_long_np
 
 
 def status_of(url_hash):
-    """Deterministic HTTP status from hash bits: ~94% 200, 4% 404, 2% 500.
-    (Stand-in for status_filters, rules.rs:79-86.)"""
+    """Deterministic HTTP status from hash bits: ~90% 200, 2% 404,
+    2% 500, 4% 301 (redirect). (Stand-in for status_filters,
+    rules.rs:79-86.)"""
     r = F.pmod(F.shiftrightunsigned(url_hash, 17), F.lit(50))
     return (
-        F.when(r == 0, F.lit(404)).when(r == 1, F.lit(500)).otherwise(F.lit(200))
+        F.when(r == 0, F.lit(404))
+        .when(r == 1, F.lit(500))
+        .when((r == 2) | (r == 3), F.lit(301))
+        .otherwise(F.lit(200))
     )
 
 
 def py_status_of(url_hash: int) -> int:
     r = ((url_hash & ((1 << 64) - 1)) >> 17) % 50
-    return 404 if r == 0 else 500 if r == 1 else 200
+    if r == 0:
+        return 404
+    if r == 1:
+        return 500
+    if r in (2, 3):
+        return 301
+    return 200
+
+
+# F9 redirect chain (status_filters::Redirect, rules.rs:79-86; hop
+# budget `max_redirect: 5`, conf/default.yaml:196). The synthetic
+# "Location" of a 301 is hash-derived: the next hop's url_hash is
+# xxhash64(current hash) — deterministic, JVM-computable, and shared
+# bit-for-bit with the simulator via hashing.xxh64_long.
+MAX_REDIRECT = 5
+STATUS_REDIRECT_EXCEEDED = 599  # chain longer than the budget: error
+
+
+def status_of_np(uh: np.ndarray) -> np.ndarray:
+    """Vectorized twin of status_of / py_status_of."""
+    r = ((uh.astype(np.uint64) >> np.uint64(17)) % np.uint64(50)).astype(np.int64)
+    st = np.full(uh.shape, 200, dtype=np.int64)
+    st[r == 0] = 404
+    st[r == 1] = 500
+    st[(r == 2) | (r == 3)] = 301
+    return st
+
+
+def resolve_redirects_np(
+    uh: np.ndarray, max_redirect: int = MAX_REDIRECT
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized <=max_redirect-hop chain -> (final_hash, status, hops).
+
+    Runs inside the Arrow batch kernel rather than as unrolled column
+    CASE expressions: a when-chain where hop k's expression embeds hop
+    k-1's TWICE grows the Catalyst tree exponentially — 5 hops made
+    plan optimization take minutes. Only ~4% of rows iterate past hop
+    0, so the numpy loop is O(active) per hop. Bit-parity with Spark's
+    xxhash64(bigint) via hashing.xxh64_long_np (unit-tested)."""
+    cur = uh.astype(np.int64).copy()
+    st = status_of_np(cur)
+    hops = np.zeros(len(cur), dtype=np.int64)
+    for _ in range(max_redirect):
+        m = st == 301
+        if not m.any():
+            break
+        cur[m] = xxh64_long_np(cur[m])
+        st[m] = status_of_np(cur[m])
+        hops[m] += 1
+    st[st == 301] = STATUS_REDIRECT_EXCEEDED
+    return cur, st, hops
+
+
+def py_resolve_redirects(url_hash: int, max_redirect: int = MAX_REDIRECT) -> tuple[int, int, int]:
+    """Scalar twin of resolve_redirects_np -> (final_hash, status, hops)."""
+    from .hashing import _signed, xxh64_long
+
+    cur, hops = url_hash, 0
+    st = py_status_of(cur)
+    while st == 301 and hops < max_redirect:
+        cur = _signed(xxh64_long(cur))
+        st = py_status_of(cur)
+        hops += 1
+    if st == 301:
+        st = STATUS_REDIRECT_EXCEEDED
+    return cur, st, hops
 
 
 # ---------------------------------------------------------------------
@@ -129,6 +198,8 @@ PARSE_SCHEMA = T.StructType(
         T.StructField("domain", T.StringType(), False),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),
+        T.StructField("final_url", T.StringType(), True),
+        T.StructField("n_redirects", T.IntegerType(), False),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
@@ -140,67 +211,185 @@ PARSE_SCHEMA = T.StructType(
 )
 
 
-def fetch_and_parse(tasks: DataFrame, images: DataFrame, n_images: int) -> DataFrame:
+def payload_store(images: DataFrame):
+    """Collect a (small) payload table into a worker-side dict keyed by
+    image_idx — the broadcast handle for ``fetch_and_parse``'s
+    UDF-resident fetch mode.
+
+    Why this exists: the join mode ships every task's payload bytes
+    JVM->Arrow->Python (~3 KB/row — tens of GB per epoch at bench
+    scale), which only measures one box's memory bus. A REAL fetch
+    materializes the payload *inside* the fetcher (HTTP read happens in
+    the worker), so the UDF-resident mode is both the faithful model
+    and the one that scales: only small task columns cross Arrow. Use
+    it whenever the synthetic payload universe fits a broadcast; use
+    the join mode when the payload is a genuine table."""
+    rows = images.select("image_id", "bytes", "fmt", "caption", "phash").collect()
+    n = 1 + max(int(r.image_id.rsplit("-", 1)[-1]) for r in rows)
+    ids = np.empty(n, dtype=object)
+    captions = np.empty(n, dtype=object)
+    phashes = np.zeros(n, dtype=np.int64)
+    blobs: list[bytes | None] = [None] * n
+    for r in rows:
+        idx = int(r.image_id.rsplit("-", 1)[-1])
+        ids[idx] = r.image_id
+        captions[idx] = r.caption
+        phashes[idx] = int(r.phash)
+        blobs[idx] = bytes(r.bytes)
+    store = {"image_id": ids, "bytes": blobs, "caption": captions, "phash": phashes}
+    return images.sparkSession.sparkContext.broadcast(store)
+
+
+def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MAX_REDIRECT):
+    """Shared numpy kernel for both fetch modes. Each batch: follow the
+    redirect chain (rules.rs:79-86), resolve payload (from the joined
+    columns or the broadcast store), decode, batched gray+phash, derive
+    links. Payload + links resolve against the REDIRECT-FOLLOWED hash —
+    the document actually fetched."""
+    from .codec import decode_image, to_gray_32_batch
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        uh = pdf["url_hash"].to_numpy(dtype=np.int64)
+        if "final_hash" in pdf.columns:  # join mode: chain already added
+            fh = pdf["final_hash"].to_numpy(dtype=np.int64)
+            status = pdf["status"].to_numpy(dtype=np.int64)
+            hops = pdf["n_redirects"].to_numpy(dtype=np.int64)
+        else:
+            fh, status, hops = resolve_redirects_np(uh, max_redirect)
+        ok200 = status == 200
+        if store_bc is not None:
+            store = store_bc.value
+            idx_arr = (fh.astype(np.uint64) % np.uint64(n_images)).astype(np.int64)
+            blob_list = store["bytes"]
+            blobs = [blob_list[ix] if ok else None for ix, ok in zip(idx_arr, ok200)]
+            image_id = pd.Series(np.where(ok200, store["image_id"][idx_arr], None))
+            caption = pd.Series(np.where(ok200, store["caption"][idx_arr], None))
+            phash_stored = store["phash"][idx_arr]
+        else:
+            blobs = [
+                bytes(b) if (ok and b is not None) else None
+                for b, ok in zip(pdf["bytes"], ok200)
+            ]
+            image_id = pdf["image_id"].where(ok200, None)
+            caption = pdf["caption"].where(ok200, None)
+            phash_stored = pdf["phash_stored"].to_numpy(dtype=np.int64)
+        phash = np.zeros(n, dtype=np.int64)
+        phash_ok = np.zeros(n, dtype=bool)
+        size = np.zeros(n, dtype=np.int64)
+        pxs, idxs = [], []
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            px, _ = decode_image(b)
+            size[i] = len(b)
+            pxs.append(px)
+            idxs.append(i)
+        if idxs:
+            hs = phash64_batch(to_gray_32_batch(pxs))
+            phash[idxs] = hs
+            phash_ok[idxs] = hs == phash_stored[idxs]
+        ints, exts = derive_links_np(fh, phash)
+        # final_url: synthesized Location of the last hop (same-domain
+        # "/r{idx}" page); only ~4% of rows redirect, so the string
+        # build loop touches few rows
+        red_idx = np.nonzero(hops > 0)[0]
+        if len(red_idx):
+            fu = pdf["url"].to_numpy(dtype=object, copy=True)
+            doms = pdf["domain"]
+            for i in red_idx:
+                fu[i] = f"http://{doms.iat[i]}/r{int(fh[i]) % INTERNAL_PATHS}"
+            final_url = pd.Series(fu)
+        else:
+            final_url = pdf["url"]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "url_hash": pdf["url_hash"],
+                "domain": pdf["domain"],
+                "depth": pdf["depth"],
+                "status": status.astype(np.int32),
+                "final_url": final_url,
+                "n_redirects": hops.astype(np.int32),
+                "image_id": image_id,
+                "caption": caption,
+                "phash": phash,
+                "phash_ok": phash_ok,
+                "read_size_b": size,
+                "internal_paths": [i if o else [] for i, o in zip(ints, ok200)],
+                "external_domains": [e if o else [] for e, o in zip(exts, ok200)],
+            }
+        )
+
+
+def _with_chain_cols(df: DataFrame, max_redirect: int) -> DataFrame:
+    """Join-mode helper: append final_hash/status/n_redirects via one
+    Arrow-batched pass so the payload equi-join can key on the
+    redirect-followed hash."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("final_hash", T.LongType(), False),
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("n_redirects", T.IntegerType(), False),
+        ]
+    )
+
+    def add(batches):
+        for pdf in batches:
+            uh = pdf["url_hash"].to_numpy(dtype=np.int64)
+            fh, st, hops = resolve_redirects_np(uh, max_redirect)
+            yield pdf.assign(
+                final_hash=fh,
+                status=st.astype(np.int32),
+                n_redirects=hops.astype(np.int32),
+            )
+
+    return df.mapInPandas(add, schema)
+
+
+def fetch_and_parse(
+    tasks: DataFrame,
+    images: DataFrame,
+    n_images: int,
+    store_bc=None,
+    max_redirect: int = MAX_REDIRECT,
+) -> DataFrame:
     """tasks(url, url_hash, domain, depth, ...) -> PARSE_SCHEMA rows.
 
-    The payload join is a plain equi-join on image_idx = pmod(url_hash,
-    n_images); Catalyst broadcasts the images side when small, shuffles
-    by key otherwise. Decode + phash-verify + link derivation run once
-    per Arrow batch in numpy.
+    Two payload modes with identical results (tested):
+    - ``store_bc`` given (see :func:`payload_store`): the UDF resolves
+      payload bytes worker-side — the faithful model of a fetcher, and
+      no payload bytes cross the JVM->Arrow boundary.
+    - otherwise: plain equi-join on image_idx = pmod(url_hash,
+      n_images); Catalyst broadcasts the images side when small,
+      shuffles by key otherwise — for payload-as-a-table deployments.
     """
-    t = tasks.withColumn("status", status_of(F.col("url_hash"))).withColumn(
-        "image_idx", F.pmod(F.col("url_hash"), F.lit(n_images))
-    )
+    if store_bc is not None:
+
+        def parse_store(batches):
+            yield from _parse_batches(batches, n_images, store_bc, max_redirect)
+
+        return tasks.mapInPandas(parse_store, PARSE_SCHEMA)
+
+    t = _with_chain_cols(tasks, max_redirect)
+    t = t.withColumn("image_idx", F.pmod(F.col("final_hash"), F.lit(n_images)))
     im = images.withColumn(
         "image_idx", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
     ).select("image_idx", "image_id", "bytes", "fmt", "caption", F.col("phash").alias("phash_stored"))
-    # only 200s fetch a payload; errors keep task metadata for metrics
-    joined = t.join(im, "image_idx", "left")
+    # only 200s fetch a payload; errors keep task metadata for metrics.
+    # coalesce the stored hash JVM-side: a nullable long becomes float64
+    # in pandas and silently corrupts int64 hash values beyond 2^53
+    joined = t.join(im, "image_idx", "left").withColumn(
+        "phash_stored", F.coalesce("phash_stored", F.lit(0))
+    )
 
-    def parse(batches):
-        from .codec import decode_image
+    def parse_joined(batches):
+        yield from _parse_batches(batches, n_images, None, max_redirect)
 
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            phash = np.zeros(n, dtype=np.int64)
-            phash_ok = np.zeros(n, dtype=bool)
-            size = np.zeros(n, dtype=np.int64)
-            ok200 = (pdf["status"] == 200).to_numpy()
-            grays, idxs = [], []
-            for i, (b, st) in enumerate(zip(pdf["bytes"], pdf["status"])):
-                if st != 200 or b is None:
-                    continue
-                px, _ = decode_image(bytes(b))
-                size[i] = len(b)
-                grays.append(_to_gray_32(px))
-                idxs.append(i)
-            if idxs:
-                hs = phash64_batch(np.stack(grays))
-                phash[idxs] = hs
-                phash_ok[idxs] = hs == pdf["phash_stored"].to_numpy(dtype=np.int64)[idxs]
-            uh = pdf["url_hash"].to_numpy(dtype=np.int64)
-            ints, exts = derive_links_np(uh, phash)
-            out = pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "url_hash": pdf["url_hash"],
-                    "domain": pdf["domain"],
-                    "depth": pdf["depth"],
-                    "status": pdf["status"],
-                    "image_id": pdf["image_id"].where(ok200, None),
-                    "caption": pdf["caption"].where(ok200, None),
-                    "phash": phash,
-                    "phash_ok": phash_ok,
-                    "read_size_b": size,
-                    "internal_paths": [i if o else [] for i, o in zip(ints, ok200)],
-                    "external_domains": [e if o else [] for e, o in zip(exts, ok200)],
-                }
-            )
-            yield out
-
-    return joined.mapInPandas(parse, PARSE_SCHEMA)
+    return joined.mapInPandas(parse_joined, PARSE_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -239,11 +428,18 @@ def expand_internal_links(
 def robots_blocked_col(tasks: DataFrame, robots: DataFrame) -> DataFrame:
     """Mark tasks whose URL path matches a robots disallow prefix
     (task_filters::RobotsTxt, rules.rs:71-73). JVM-side higher-order
-    predicate; unknown domains are unblocked (no robots = allow)."""
+    predicate; unknown domains are unblocked (no robots = allow).
+
+    No broadcast hint: the robots cache grows with every discovered
+    domain (the reference sizes it at 25M domains, conf/default.yaml:
+    249-254) — a forced broadcast of that with disallow arrays OOMs the
+    driver. AQE broadcasts while it is actually small and switches to a
+    shard-partitioned shuffle join once it isn't; tests/test_plans.py
+    pins the large-side behaviour."""
     path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/"))
     path = F.when(path == "", "/").otherwise(path)
     return (
-        tasks.join(F.broadcast(robots.select("domain", "disallow")), "domain", "left")
+        tasks.join(robots.select("domain", "disallow"), "domain", "left")
         .withColumn(
             "blocked",
             F.coalesce(
@@ -254,13 +450,25 @@ def robots_blocked_col(tasks: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def discovery_candidates(parsed: DataFrame, tld_whitelist: DataFrame) -> DataFrame:
+def discovery_candidates(
+    parsed: DataFrame, tld_whitelist: DataFrame, second_level_only: bool = False
+) -> DataFrame:
     """parsed -> external domain discovery stream, filtered per
     crusty.rs:250-274: len>=4, contains '.', != task domain, TLD in
     whitelist. Returns (domain) rows (deduped within batch — the LRU
-    analog J7; the cross-epoch gate is the Bloom J1)."""
+    analog J7; the cross-epoch gate is the Bloom J1).
+
+    Linked names pass through JobState::transform_domain first
+    (rules.rs:28-43): under ``second_level_only`` both the linked and
+    the task domain collapse to SLDs before the self-link comparison,
+    so e.g. blog.foo.com never re-discovers foo.com."""
+    from .urls import transform_domain
+
     ext = parsed.select(
-        F.col("domain").alias("src_domain"), F.explode("external_domains").alias("domain")
+        transform_domain(F.col("domain"), second_level_only).alias("src_domain"),
+        F.explode("external_domains").alias("linked"),
+    ).select(
+        "src_domain", transform_domain(F.col("linked"), second_level_only).alias("domain")
     )
     filtered = (
         ext.filter(F.length("domain") >= 4)

@@ -27,12 +27,30 @@ from .codec import encode_image, phash64
 
 SEED = 42
 
-# Small public-suffix subset (publicly known TLD strings), standing in
-# for the reference's embedded 1,499-entry whitelist.
-TLD_WHITELIST = [
-    "com", "net", "org", "io", "dev", "app", "edu", "gov", "info", "biz",
-    "co", "us", "uk", "de", "fr", "jp", "ru", "br", "in", "au",
-]
+def _load_tld_whitelist() -> list[str]:
+    """The full 1,498-entry IANA root-zone TLD list (public data,
+    data.iana.org/TLD/tlds-alpha-by-domain.txt, version 2021062101 —
+    the same vintage the reference embeds at crusty.rs:83-88 /
+    workspace/main/tld.txt), so discovery-filter selectivity matches the
+    reference. Falls back to a 20-entry subset if the data file is
+    missing (e.g. a partial deployment)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "tld.txt")
+    try:
+        with open(path) as f:
+            tlds = [ln.strip().lower() for ln in f if ln.strip() and not ln.startswith("#")]
+        if tlds:
+            return tlds
+    except OSError:
+        pass
+    return [
+        "com", "net", "org", "io", "dev", "app", "edu", "gov", "info", "biz",
+        "co", "us", "uk", "de", "fr", "jp", "ru", "br", "in", "au",
+    ]
+
+
+TLD_WHITELIST = _load_tld_whitelist()
 
 FMTS = ["png", "jpeg", "bmp"]
 SIZES = [32, 64, 128]

@@ -56,6 +56,13 @@ class CrawlConfig:
     topk_k: int = 100  # topk.options.k (default.yaml:174)
     topk_decay: float = 0.92  # topk decay (default.yaml:177)
     salt_buckets: int = 16  # two-phase argmin fan-out for hot addr_keys
+    # topk.collect.second_level_only (default.yaml:180, rules.rs:28-43):
+    # linked-domain names collapse to the SLD and self-links compare SLDs
+    second_level_only: bool = False
+    max_redirect: int = 5  # status_filters::Redirect budget (default.yaml:196)
+    # resolver.addr_ipv6_policy (config.rs:227-231, types.rs:22-40):
+    # v4_single (legacy identity) | disabled | preferred | fallback
+    addr_ipv6_policy: str = "v4_single"
 
     def bloom_kwargs(self) -> dict:
         return {
@@ -124,9 +131,12 @@ def empty_job_state(spark: SparkSession) -> DataFrame:
 
 def identity_for_urls(urls: DataFrame, cfg: CrawlConfig, depth_col=None) -> DataFrame:
     """url[, depth] -> full frontier identity, dropping host-less URLs
-    (reference skips them at crusty.rs:498-507)."""
-    df = U.with_frontier_identity(urls, shard_total=cfg.shard_total)
-    df = df.filter(F.col("domain").isNotNull())
+    (reference skips them at crusty.rs:498-507) and domains the address
+    policy resolves to nothing (types.rs:57-60)."""
+    df = U.with_frontier_identity(
+        urls, shard_total=cfg.shard_total, addr_policy=cfg.addr_ipv6_policy
+    )
+    df = df.filter(F.col("domain").isNotNull() & F.col("addr_key").isNotNull())
     depth = F.col("depth") if depth_col else F.lit(0)
     return df.select(
         "url", "url_hash", "domain", "tld", "addr_key", "shard", depth.cast("int").alias("depth")
@@ -197,19 +207,35 @@ def dequeue(
         F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch)
     )
     queued = frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
-    # domain-level candidates: first shuffle is by domain (well spread)
+    # domain-level candidates. When the frontier table is partitioned by
+    # domain (the engine keeps it that way — see Crawler/bench), this
+    # aggregation needs NO exchange: hash-partitioning on `domain` is a
+    # subset of the grouping keys.
     domains = queued.groupBy("shard", "addr_key", "domain").agg(
         F.min("depth").alias("min_depth")
     )
-    finished = job_state.filter(F.col("finished"))
-    domains = domains.join(finished.select("domain"), "domain", "left_anti")
-    domains = domains.join(live_leases.select("addr_key"), "addr_key", "left_anti")
-    domains = domains.join(live_leases.select("domain"), "domain", "left_anti")
+    # J2 + finished in ONE domain-keyed anti-join (big side stays on the
+    # frontier's domain partitioning — only the small exclusion list
+    # shuffles). J3 (addr_key holds a live lease) is applied AFTER the
+    # per-addr_key argmin below, on one row per addr_key, where it is
+    # exchange-free — excluding an addr_key before or after picking its
+    # best domain is the same set.
+    excl_domains = (
+        job_state.filter(F.col("finished"))
+        .select("domain")
+        .unionByName(live_leases.select("domain"))
+    )
+    domains = domains.join(excl_domains, "domain", "left_anti")
 
     # salted two-phase argmin over (min_depth, domain) per addr_key:
     # phase 1 reduces each (addr_key, salt) bucket to one candidate,
     # phase 2 reduces the <=salt_buckets survivors. Hot /24s with many
-    # domains therefore never serialize into a single task.
+    # domains therefore never serialize into a single task. The single
+    # explicit repartition on addr_key is the ONLY big-side exchange in
+    # the whole dequeue: phase 1, phase 2 and the J3 anti-join all reuse
+    # it (their keys contain / equal addr_key). Partial aggregation
+    # before the exchange would win nothing — the groupBy above already
+    # left ~one row per (addr_key, domain).
     cand = F.struct(
         F.col("min_depth").alias("p"), F.col("domain").alias("domain"),
         F.col("shard").alias("shard"),
@@ -218,6 +244,7 @@ def dequeue(
         domains.withColumn(
             "salt", F.pmod(F.xxhash64("domain"), F.lit(cfg.salt_buckets))
         )
+        .repartition("addr_key")
         .groupBy("addr_key", "salt")
         .agg(F.min(cand).alias("cand"))
     )
@@ -227,6 +254,7 @@ def dequeue(
         F.col("cand.shard").alias("shard"),
         F.col("cand.p").alias("min_depth"),
     )
+    picked = picked.join(live_leases.select("addr_key"), "addr_key", "left_anti")
 
     # per-shard limit (deterministic rank by (min_depth, domain));
     # shard count is fixed and balanced so this window doesn't skew
@@ -321,19 +349,26 @@ def select_fetch_tasks(
     frontier: DataFrame, allow: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
     """Pick the next `allowed` queued URLs per leased domain, ordered by
-    (depth, url_hash) — deterministic tie-break (SURVEY §2.6 O3). The
-    window is bounded: only leased domains (<= dequeue_limit * shards)
-    with <= concurrency rows surviving, so no skew concern."""
-    # no broadcast hint: at small lease counts AQE broadcasts anyway; at
-    # bench/prod scale (100k+ leased domains) a forced broadcast would
-    # serialize on the driver collect — let AQE pick per batch
+    (depth, url_hash) — deterministic tie-break (SURVEY §2.6 O3).
+
+    Plan shape on a domain-partitioned frontier: the allow side is
+    shuffle-hash-joined (per-partition hash build — parallel, unlike a
+    driver-side broadcast build of 100k+ leased domains), the big side
+    moves nowhere, and the literal `rn <= domain_concurrency` bound lets
+    Spark plan a WindowGroupLimit: each partition keeps at most
+    `concurrency` rows per domain DURING the sort instead of fully
+    sorting every queued URL."""
     cands = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).join(
-        allow.filter(F.col("allowed") > 0).select("domain", "allowed"), "domain"
+        allow.filter(F.col("allowed") > 0).select("domain", "allowed").hint("shuffle_hash"),
+        "domain",
     )
     w = Window.partitionBy("domain").orderBy("depth", "url_hash")
     return (
         cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("allowed"))
+        .filter(
+            (F.col("rn") <= F.lit(int(cfg.domain_concurrency)))
+            & (F.col("rn") <= F.col("allowed"))
+        )
         .drop("rn", "allowed")
     )
 

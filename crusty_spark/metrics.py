@@ -81,3 +81,14 @@ def pages_per_epoch(task_m: DataFrame) -> DataFrame:
 def queue_throughput(queue_m: DataFrame) -> DataFrame:
     """queued/leased/done depth per epoch (crusty.json:1189-1215)."""
     return queue_m.groupBy("epoch").pivot("queue").agg(F.first("n"))
+
+
+def domain_topk_latest(topk_m: DataFrame) -> DataFrame:
+    """Grafana domain-topk panel analog (crusty.json:1008:
+    ``argMax(hits, created_at)``) over the persisted per-consume-epoch
+    ``metrics_topk`` history (reference table types.rs:400-409,
+    infra/clickhouse/init.sql:65-71): each domain's hits as of its most
+    recent snapshot."""
+    return topk_m.groupBy("tld", "domain").agg(
+        F.max_by("hits", "epoch").alias("hits"), F.max("epoch").alias("epoch")
+    )

@@ -19,11 +19,19 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .fetch import py_derive_links, py_status_of
+from .fetch import py_derive_links, py_resolve_redirects, py_status_of  # noqa: F401
 from .fixtures import TLD_WHITELIST, gen_image_row, robots_rules_for
 from .frontier import CrawlConfig
 from .hashing import spark_xxhash64_str
-from .urls import py_addr_key_of, py_host_of, py_shard_of, py_strip_www, py_tld_of
+from .urls import (
+    py_addr_key_of,  # noqa: F401  (re-exported for tests)
+    py_addr_key_policy,
+    py_host_of,
+    py_shard_of,
+    py_strip_www,
+    py_tld_of,
+    py_transform_domain,
+)
 
 _TLD_SET = {t.upper() for t in TLD_WHITELIST}
 
@@ -103,7 +111,9 @@ class SimCrawler:
         key = (domain, uh)
         if key in self.tasks:
             return
-        ak = py_addr_key_of(domain)
+        ak = py_addr_key_policy(domain, self.cfg.addr_ipv6_policy)
+        if ak is None:  # address policy resolved nothing: drop (types.rs:57-60)
+            return
         self.tasks[key] = SimTask(
             url=url,
             url_hash=uh,
@@ -196,30 +206,36 @@ class SimCrawler:
             j = self.jobs[t.domain]
             j.pages_crawled += 1
             j.tokens -= 1.0
-            status = py_status_of(t.url_hash)
+            # F9: follow the <=5-hop synthetic redirect chain exactly as
+            # fetch.with_redirect_chain does (rules.rs:79-86)
+            final_hash, status, _hops = py_resolve_redirects(t.url_hash, cfg.max_redirect)
             if status != 200:
                 continue
-            idx = t.url_hash % self.n_images
+            idx = final_hash % self.n_images
             ph = self._phash_of(idx)
-            ints, exts = py_derive_links(t.url_hash, ph)
+            ints, exts = py_derive_links(final_hash, ph)
             nd = t.depth + 1
             for k, path in enumerate(ints):
                 if k >= cfg.links_per_page or path.endswith("#nofollow") or nd > cfg.max_depth:
                     continue
                 internal_cands.append((t.domain, path, nd))
+            src_t = py_transform_domain(t.domain, cfg.second_level_only)
             for e in exts:
-                if e != t.domain:
-                    self.domain_links.add((t.domain, e))
-                ext_pairs.append((t.domain, e))
+                # rules.rs:36-43: transform the linked name, suppress
+                # self-links on the TRANSFORMED names
+                et = py_transform_domain(e, cfg.second_level_only)
+                if et != src_t:
+                    self.domain_links.add((t.domain, et))
+                ext_pairs.append((src_t, et))
         # discovery filter then batch dedup — same order as
-        # discovery_candidates (filter rows, THEN dropDuplicates)
+        # discovery_candidates (transform, filter rows, THEN dropDuplicates)
         external_cands: list[str] = []
         ext_dedup: set[str] = set()
-        for src, e in ext_pairs:
+        for src_t, e in ext_pairs:
             if (
                 len(e) >= 4
                 and "." in e
-                and e != src
+                and e != src_t
                 and py_tld_of(e) in _TLD_SET
                 and e not in ext_dedup
             ):

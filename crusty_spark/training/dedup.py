@@ -242,6 +242,62 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+def phash_near_dup(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicates via banded 64-bit perceptual hash: split the
+    phash into `n_bands` chunks; candidate pairs share at least one
+    chunk; verify popcount(a XOR b) <= max_hamming. Pigeonhole: any pair
+    with hamming < n_bands is GUARANTEED to share a band, so recall is 1
+    for max_hamming <= n_bands - 1 (the default 3/4 is the classic
+    64-bit near-dup setting). Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Plan shape at 10^10 images: one band projection (no shuffle), one
+    groupBy-style self-join on (band, key) — the same bucketed skeleton
+    as MinHash-LSH — then an O(candidates) bit_count verify. Completes
+    the multimodal dedup story next to the stored phash column
+    (BASELINE.json input_hint)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftrightunsigned({phash_col}, {b * width}) & {mask}").alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.col(phash_col).alias("ph"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("id", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame, threshold: float = 0.95, sign_bits: int = 16
 ) -> DataFrame:

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .hashing import crc32_str, xxh64
+from .hashing import crc32_str, spark_xxhash64_str, xxh64
 
 DEFAULT_SHARD_TOTAL = 16
 
@@ -59,6 +59,14 @@ def sld_of(domain: Column) -> Column:
     ).otherwise(domain)
 
 
+def transform_domain(domain: Column, second_level_only: bool) -> Column:
+    """JobState::transform_domain (rules.rs:28-34): linked-domain names
+    collapse to the SLD under `second_level_only`, otherwise only a
+    leading www. is stripped. Applied to BOTH the job's own domain and
+    every linked domain before self-link comparison (rules.rs:36-43)."""
+    return sld_of(domain) if second_level_only else strip_www(domain)
+
+
 def tld_of(domain: Column) -> Column:
     """Uppercased last dot-segment (crusty.rs:257)."""
     return F.upper(F.element_at(F.split(domain, r"\."), -1))
@@ -87,20 +95,93 @@ def addr_key_of(domain: Column) -> Column:
     return F.when(domain.isNotNull(), key)
 
 
+# --- O1: multi-address selection + IPv6 policy (types.rs:22-40) -------
+#
+# The reference resolves a domain to a LIST of addresses, sorts v4 and
+# v6 separately, and picks one per resolver.addr_ipv6_policy
+# (config.rs:227-231): Disabled -> first v4; Preferred -> first v6 else
+# first v4; Fallback -> first v4 else first v6. No address -> the
+# domain is dropped. Our DNS stand-in synthesizes the list from domain
+# hashes: 0-2 v4s (6% have none) and a v6 for ~25% of domains.
+# "v4_single" is the legacy identity (exactly one v4 = low32(h(domain)))
+# kept as the default so existing addr_keys stay stable.
+
+ADDR_POLICIES = ("v4_single", "disabled", "preferred", "fallback")
+
+
+def _low32(c: Column) -> Column:
+    return F.shiftrightunsigned(F.shiftleft(c, 32), 32)
+
+
+def synth_addrs(domain: Column) -> Column:
+    """domain -> struct(v4s: sorted array<long>, v6: nullable long).
+    v4s are u32s in a long; v6 is the /64 prefix as a signed long."""
+    h0 = F.xxhash64(F.concat(domain, F.lit(":addrs")))
+    n_v4 = F.when(F.pmod(h0, F.lit(16)) == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.pmod(F.shiftrightunsigned(h0, 4), F.lit(2)).cast("int")
+    )
+    v4_0 = _low32(F.xxhash64(F.concat(domain, F.lit(":v4:0"))))
+    v4_1 = _low32(F.xxhash64(F.concat(domain, F.lit(":v4:1"))))
+    v4s = (
+        F.when(n_v4 == 0, F.array().cast("array<long>"))
+        .when(n_v4 == 1, F.array(v4_0))
+        .otherwise(F.sort_array(F.array(v4_0, v4_1)))
+    )
+    has_v6 = F.pmod(F.shiftrightunsigned(h0, 8), F.lit(4)) == 0
+    v6 = F.when(has_v6, F.xxhash64(F.concat(domain, F.lit(":v6"))))
+    return F.struct(v4s.alias("v4s"), v6.alias("v6"))
+
+
+def addr_key_policy(domain: Column, policy: str = "v4_single") -> Column:
+    """addr_key under an address-selection policy. v4 keys are base64 of
+    the 4 /24-masked octets (legacy format); v6 keys are base64 of the
+    8-byte /64 prefix — different lengths, so the key spaces never
+    collide. NULL when the policy selects no address (domain dropped,
+    types.rs:57-60)."""
+    if policy == "v4_single":
+        return addr_key_of(domain)
+    if policy not in ADDR_POLICIES:
+        raise ValueError(f"unknown addr policy {policy!r}")
+    a = synth_addrs(domain)
+    v4_first = F.when(F.size(a["v4s"]) > 0, F.element_at(a["v4s"], 1))
+    v6 = a["v6"]
+    if policy == "disabled":
+        sel_v4, sel_v6 = v4_first, F.lit(None).cast("long")
+    elif policy == "preferred":
+        sel_v4 = F.when(v6.isNull(), v4_first)
+        sel_v6 = v6
+    else:  # fallback
+        sel_v4 = v4_first
+        sel_v6 = F.when(v4_first.isNull(), v6)
+    v4_key = F.base64(
+        F.unhex(F.lpad(F.hex(sel_v4.bitwiseAND(F.lit(0xFFFFFF00))), 8, "0"))
+    )
+    v6_key = F.base64(F.unhex(F.lpad(F.hex(sel_v6), 16, "0")))
+    key = F.when(sel_v6.isNotNull(), v6_key).otherwise(v4_key)
+    return F.when(domain.isNotNull(), key)
+
+
 def shard_of_col(addr_key: Column, shard_total: int = DEFAULT_SHARD_TOTAL) -> Column:
     return F.pmod(F.crc32(addr_key.cast("binary")), F.lit(shard_total)).cast("int")
 
 
-def with_frontier_identity(df, url_col: str = "url", shard_total: int = DEFAULT_SHARD_TOTAL):
+def with_frontier_identity(
+    df,
+    url_col: str = "url",
+    shard_total: int = DEFAULT_SHARD_TOTAL,
+    addr_policy: str = "v4_single",
+):
     """url -> + (url_hash, domain, tld, addr_key, shard). One projection,
-    all JVM-side; Catalyst folds the shared subexpressions."""
+    all JVM-side; Catalyst folds the shared subexpressions. addr_key is
+    NULL when `addr_policy` selects no address for the domain (the
+    reference drops such domains, types.rs:57-60)."""
     u = F.col(url_col)
     domain = strip_www(host_of(u))
     return (
         df.withColumn("url_hash", url_hash_of(u))
         .withColumn("domain", domain)
         .withColumn("tld", tld_of(F.col("domain")))
-        .withColumn("addr_key", addr_key_of(F.col("domain")))
+        .withColumn("addr_key", addr_key_policy(F.col("domain"), addr_policy))
         .withColumn("shard", shard_of_col(F.col("addr_key"), shard_total))
     )
 
@@ -191,6 +272,11 @@ def py_sld_of(domain: str) -> str:
     return ".".join(parts[-2:]) if len(parts) >= 2 else domain
 
 
+def py_transform_domain(domain: str, second_level_only: bool) -> str:
+    """Scalar twin of transform_domain (rules.rs:28-34)."""
+    return py_sld_of(domain) if second_level_only else py_strip_www(domain)
+
+
 def py_synth_ip32(domain: str) -> int:
     return xxh64(domain.encode("utf-8")) & 0xFFFFFFFF
 
@@ -198,6 +284,39 @@ def py_synth_ip32(domain: str) -> int:
 def py_addr_key_of(domain: str) -> str:
     masked = py_synth_ip32(domain) & 0xFFFFFF00
     return base64.b64encode(masked.to_bytes(4, "big")).decode("ascii")
+
+
+def py_synth_addrs(domain: str) -> tuple[list[int], int | None]:
+    """Scalar twin of synth_addrs -> (sorted v4 u32 list, v6 or None)."""
+    m64 = (1 << 64) - 1
+    h0u = spark_xxhash64_str(domain + ":addrs") & m64
+    n_v4 = 0 if h0u % 16 == 0 else 1 + ((h0u >> 4) % 2)
+    v4s = sorted(
+        (spark_xxhash64_str(f"{domain}:v4:{i}") & 0xFFFFFFFF) for i in range(n_v4)
+    )
+    v6 = spark_xxhash64_str(domain + ":v6") if (h0u >> 8) % 4 == 0 else None
+    return v4s, v6
+
+
+def py_addr_key_policy(domain: str, policy: str = "v4_single") -> str | None:
+    """Scalar twin of addr_key_policy."""
+    if policy == "v4_single":
+        return py_addr_key_of(domain)
+    v4s, v6 = py_synth_addrs(domain)
+    v4 = v4s[0] if v4s else None
+    if policy == "disabled":
+        sel_v4, sel_v6 = v4, None
+    elif policy == "preferred":
+        sel_v4, sel_v6 = (None, v6) if v6 is not None else (v4, None)
+    elif policy == "fallback":
+        sel_v4, sel_v6 = (v4, None) if v4 is not None else (None, v6)
+    else:
+        raise ValueError(f"unknown addr policy {policy!r}")
+    if sel_v6 is not None:
+        return base64.b64encode((sel_v6 & ((1 << 64) - 1)).to_bytes(8, "big")).decode("ascii")
+    if sel_v4 is not None:
+        return base64.b64encode((sel_v4 & 0xFFFFFF00).to_bytes(4, "big")).decode("ascii")
+    return None
 
 
 def py_shard_of(addr_key: str, shard_total: int = DEFAULT_SHARD_TOTAL) -> int:

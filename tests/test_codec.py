@@ -55,3 +55,18 @@ def test_phash_locality():
     d_far = bin((h ^ phash64(far)) & ((1 << 64) - 1)).count("1")
     assert d_near <= 4
     assert d_far > 10
+
+
+def test_gray_batch_scalar_bitequal():
+    """to_gray_32_batch must be BIT-equal to _to_gray_32 per image across
+    mixed shapes — phash thresholds sit on medians, so even 1-ulp drift
+    between the scalar (fixture/simulator) and batch (fetch UDF) paths
+    could flip hash bits."""
+    from crusty_spark.codec import to_gray_32_batch
+
+    rng = np.random.default_rng(7)
+    shapes = [(32, 32), (64, 32), (128, 128), (48, 96), (32, 32)]
+    imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for h, w in shapes]
+    batch = to_gray_32_batch(imgs)
+    for i, px in enumerate(imgs):
+        assert np.array_equal(batch[i], _to_gray_32(px))

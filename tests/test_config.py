@@ -1,0 +1,55 @@
+"""C9: config layering parity with the reference loader
+(config.rs:248-292): {VAR} expansion, profile + local overlays,
+APP_ env overrides, CRUSTY_SEEDS extension, unknown-key rejection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from crusty_spark.config import expand_vars, load_config
+
+
+def _write(p, doc):
+    p.write_text(json.dumps(doc))
+
+
+def test_expand_vars_replaces_placeholders(monkeypatch):
+    monkeypatch.setenv("GIT_SHA", "abc123")
+    assert expand_vars("sha={GIT_SHA} x={NOPE}") == "sha=abc123 x={NOPE}"
+    assert expand_vars("{A}", {"A": "y"}) == "y"
+
+
+def test_layering_default_profile_local_env(tmp_path, monkeypatch):
+    _write(tmp_path / "default.json", {"max_depth": 7, "page_budget": 50,
+                                       "seeds": ["http://a.com/"]})
+    _write(tmp_path / "profile-prod.json", {"page_budget": 500})
+    _write(tmp_path / "local.json", {"dequeue_limit": 9})
+    env = {"CRUSTY_PROFILE": "prod", "APP_MAX_DEPTH": "3",
+           "CRUSTY_SEEDS": "http://b.com/,http://c.com/"}
+    cfg, seeds = load_config(str(tmp_path), env)
+    assert cfg.page_budget == 500      # profile beats default
+    assert cfg.dequeue_limit == 9      # local beats default
+    assert cfg.max_depth == 3          # env beats files
+    assert seeds == ["http://a.com/", "http://b.com/", "http://c.com/"]
+
+
+def test_missing_profile_is_an_error(tmp_path):
+    _write(tmp_path / "default.json", {})
+    with pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path), {"CRUSTY_PROFILE": "nope"})
+
+
+def test_unknown_keys_rejected(tmp_path):
+    _write(tmp_path / "default.json", {"no_such_option": 1})
+    with pytest.raises(ValueError, match="no_such_option"):
+        load_config(str(tmp_path), {})
+
+
+def test_env_only_and_bool_coercion():
+    cfg, seeds = load_config(None, {"APP_SECOND_LEVEL_ONLY": "true",
+                                    "APP_TOPK_DECAY": "0.5"})
+    assert cfg.second_level_only is True
+    assert cfg.topk_decay == 0.5
+    assert seeds == []

@@ -135,6 +135,40 @@ def test_equality_holds_under_different_config(spark, tmp_path):
     assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
 
 
+def test_equality_under_second_level_only(spark, tmp_path):
+    """F12/F13 (rules.rs:28-43): with second_level_only=True and
+    subdomain seeds, linked names collapse to SLDs and self-links are
+    suppressed on SLDs — engine and simulator must still agree exactly,
+    including the recorded link graph."""
+    cfg3 = CrawlConfig(
+        shard_total=4, dequeue_limit=50, domain_concurrency=2,
+        lease_ttl_epochs=5, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        second_level_only=True,
+    )
+    seeds3 = [f"http://blog{k}.site{k % 5}.com/" for k in range(8)] + [
+        "http://site7.net/",
+        "http://www.site8.org/a",
+    ]
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_slo"), cfg=cfg3)
+    c.init_empty()
+    c.seed(seeds3)
+    stats = c.run(3, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfg3)
+    s.seed(seeds3)
+    sim_stats = s.run(3)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.discovered_domains, got.finished) == (
+            want["dequeued"], want["fetched"], want["discovered"], want["finished"]
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
+    engine_links = {(r.domain, r.linked) for r in c.state["domain_links"].collect()}
+    # both sides drop a domain's links once it finishes, so these are
+    # the same live view
+    assert engine_links == s.domain_links
+
+
 def test_topk_matches_simulator(crawl, sim):
     c, _, _, _ = crawl
     s, _ = sim

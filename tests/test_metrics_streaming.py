@@ -73,3 +73,27 @@ def test_streaming_windowed_rates(spark):
     ok = sum(r.pages for r in rows if r.term_by == "ok")
     err = sum(r.pages for r in rows if r.term_by == "error")
     assert ok > err
+
+
+def test_domain_topk_history_persisted(spark, crawled):
+    """metrics_topk (types.rs:400-409, init.sql:65-71): one topk
+    snapshot per consume epoch; domain_topk_latest == live topk at the
+    newest snapshot epoch (the argMax(hits, created_at) panel)."""
+    c, stats, ckpt = crawled
+    consume_epochs = [s.epoch for s in stats if s.finished > 0]
+    if not consume_epochs:
+        pytest.skip("no domain finished in this mini crawl")
+    hist = M.read_metrics(spark, ckpt, "metrics_topk")
+    assert set(r.epoch for r in hist.select("epoch").distinct().collect()) == set(
+        consume_epochs
+    )
+    latest = {
+        (r.tld, r.domain): r.hits for r in M.domain_topk_latest(hist).collect()
+    }
+    last = max(consume_epochs)
+    snapshot = {
+        (r.tld, r.domain): r.hits
+        for r in hist.filter(F.col("epoch") == last).collect()
+    }
+    for k, v in snapshot.items():
+        assert abs(latest[k] - v) < 1e-12

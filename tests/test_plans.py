@@ -66,6 +66,33 @@ def test_frontier_snapshot_prunes_by_shard(spark, tmp_path):
     assert got <= {2}
 
 
+def test_robots_join_not_force_broadcast(spark):
+    """The robots cache grows unbounded with discovery (reference sizes
+    it at 25M domains) — the gating join must NOT carry a broadcast
+    hint; AQE picks broadcast only while the cache is actually small.
+    With the threshold off, the planner must be free to shuffle-join."""
+    from crusty_spark.fetch import robots_blocked_col
+    from crusty_spark.fixtures import robots_df
+
+    tasks = spark.createDataFrame(
+        [(f"http://site{i}.com/p", f"site{i}.com") for i in range(50)], ["url", "domain"]
+    )
+    robots = robots_df(spark, [f"site{i}.com" for i in range(50)])
+    df = robots_blocked_col(tasks, robots)
+    assert "ResolvedHint" not in _plan(df, "extended")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df2 = robots_blocked_col(tasks, robots)
+        df2.collect()
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_dequeue_has_no_python_stage(spark):
     """The scheduler hot path (dequeue selection) must stay JVM-side."""
     from crusty_spark.frontier import CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases

@@ -100,3 +100,78 @@ def test_canonicalize_matches_urljoin(host, basepath, href):
     if want.startswith(("http://", "https://")) and "/" not in want.split("://", 1)[1]:
         want += "/"
     assert got == want
+
+
+def test_addr_policy_parity_and_invariants(spark):
+    """O1 (types.rs:22-40): JVM addr_key_policy must equal the scalar
+    twin for every policy, and the policy semantics must hold: disabled
+    never yields a v6 key (12-char b64), preferred uses the v6 whenever
+    one exists, fallback uses v6 only when no v4 exists."""
+    from pyspark.sql import functions as F
+
+    from crusty_spark.urls import (
+        ADDR_POLICIES,
+        addr_key_policy,
+        py_addr_key_policy,
+        py_synth_addrs,
+    )
+
+    domains = [f"site{i}.example{i % 7}.com" for i in range(240)]
+    df = spark.createDataFrame([(d,) for d in domains], ["domain"])
+    sel = df.select(
+        "domain",
+        *[addr_key_policy(F.col("domain"), p).alias(p) for p in ADDR_POLICIES],
+    )
+    rows = {r.domain: r for r in sel.collect()}
+    n_dropped = n_v6 = 0
+    for d in domains:
+        r = rows[d]
+        v4s, v6 = py_synth_addrs(d)
+        for p in ADDR_POLICIES:
+            assert getattr(r, p) == py_addr_key_policy(d, p), (d, p)
+        # v4 keys are base64 of 4 bytes (8 chars), v6 keys of 8 bytes (12)
+        if r.disabled is not None:
+            assert len(r.disabled) == 8
+        else:
+            n_dropped += 1
+        if v6 is not None:
+            assert len(r.preferred) == 12
+            n_v6 += 1
+        elif v4s:
+            assert r.preferred == r.disabled
+        if v4s:
+            assert r.fallback == r.disabled
+        elif v6 is not None:
+            assert len(r.fallback) == 12
+    assert n_dropped > 0 and n_v6 > 0  # both branches actually exercised
+
+
+def test_crawl_equality_under_fallback_policy(spark, tmp_path):
+    """Engine vs simulator with addr_ipv6_policy='fallback': the
+    politeness bucketing changes (v6 /64 keys, dropped unresolvable
+    domains) but the two implementations must still agree."""
+    from crusty_spark.crawler import Crawler
+    from crusty_spark.fixtures import images_df, seed_urls
+    from crusty_spark.frontier import CrawlConfig
+    from crusty_spark.simulator import SimCrawler
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=50, domain_concurrency=2,
+        lease_ttl_epochs=5, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        addr_ipv6_policy="fallback",
+    )
+    seeds = seed_urls(10)
+    images = images_df(spark, 32).cache()
+    c = Crawler(spark, images, 32, str(tmp_path / "ckpt_v6"), cfg=cfg)
+    c.init_empty()
+    c.seed(seeds)
+    stats = c.run(2, stop_when_idle=False)
+    s = SimCrawler(32, cfg=cfg)
+    s.seed(seeds)
+    sim_stats = s.run(2)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.finished) == (
+            want["dequeued"], want["fetched"], want["finished"]
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
