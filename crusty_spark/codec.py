@@ -90,15 +90,19 @@ def _dct_matrix(n: int) -> np.ndarray:
     return m
 
 
-_DCT = _dct_matrix(_N)
+# float32 everywhere: the pHash is this engine's own synthetic contract,
+# computed at runtime by ONE shared kernel (fixture generator, fetch
+# UDF, simulator, tests) — so the dtype only has to be consistent, and
+# float32 halves the gray/DCT memory traffic, which is what limits the
+# Arrow-batch stage's multi-core scaling on one box (measured: per-row
+# core cost grew 57% from 4 to 16 workers with float64).
+_DCT = _dct_matrix(_N).astype(np.float32)
 
 
 def _to_gray_32(pixels: np.ndarray) -> np.ndarray:
-    g = (
-        0.299 * pixels[..., 0].astype(np.float64)
-        + 0.587 * pixels[..., 1]
-        + 0.114 * pixels[..., 2]
-    )
+    g = np.multiply(pixels[..., 0], np.float32(0.299), dtype=np.float32)
+    g += np.float32(0.587) * pixels[..., 1].astype(np.float32)
+    g += np.float32(0.114) * pixels[..., 2].astype(np.float32)
     h, w = g.shape
     # nearest-neighbour resample to 32x32 (deterministic, no interpolation lib)
     yi = (np.arange(_N) * h // _N).clip(0, h - 1)
@@ -117,7 +121,7 @@ def to_gray_32_batch(px_list: list[np.ndarray]) -> np.ndarray:
     for i, p in enumerate(px_list):
         by_shape.setdefault(p.shape, []).append(i)
     single = len(by_shape) == 1
-    out = None if single else np.empty((n, _N, _N), dtype=np.float64)
+    out = None if single else np.empty((n, _N, _N), dtype=np.float32)
     for (h, w, _c), idxs in by_shape.items():
         stack = np.stack(px_list if single else [px_list[i] for i in idxs])
         # resample FIRST (one uint8 gather; identity skipped), then gray
@@ -131,9 +135,9 @@ def to_gray_32_batch(px_list: list[np.ndarray]) -> np.ndarray:
             yi = (np.arange(_N) * h // _N).clip(0, h - 1)
             xi = (np.arange(_N) * w // _N).clip(0, w - 1)
             small = stack[:, yi[:, None], xi[None, :], :]
-        g = np.multiply(small[..., 0], 0.299, dtype=np.float64)
-        g += 0.587 * small[..., 1]
-        g += 0.114 * small[..., 2]
+        g = np.multiply(small[..., 0], np.float32(0.299), dtype=np.float32)
+        g += np.float32(0.587) * small[..., 1].astype(np.float32)
+        g += np.float32(0.114) * small[..., 2].astype(np.float32)
         if single:
             return g
         out[idxs] = g

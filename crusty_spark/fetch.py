@@ -142,12 +142,16 @@ INTERNAL_PATHS = 500  # internal page id space per domain
 
 
 def derive_links_np(url_hash: np.ndarray, phash: np.ndarray) -> tuple[list[list[str]], list[list[str]]]:
-    """-> (internal_paths per row, external_domains per row).
+    """-> (internal hrefs per row, external_domains per row).
 
-    internal paths look like "/p123"; some carry a "#nofollow" marker
-    that the expansion stage turns into rel=nofollow (then drops, per
-    SkipNoFollowLinks). external entries are bare domains
-    "ext{n}.{tld}" routed to discovery.
+    Internal links are RAW hrefs the way a real parser sees them —
+    root-relative "/p123", document-relative "p123", or dot-relative
+    "./p123" (hash-chosen form) — and the expansion stage resolves them
+    against the page's base URL with urls.canonicalize_series (F2: the
+    canonicalizer runs in the crawl loop, parsers/lolhtml.rs:25-38).
+    Some carry a "#nofollow" fragment marker that expansion treats as
+    rel=nofollow (then drops, per SkipNoFollowLinks). External entries
+    are bare domains "ext{n}.{tld}" routed to discovery.
     """
     uh = url_hash.astype(np.uint64)
     ph = phash.astype(np.uint64)
@@ -166,7 +170,14 @@ def derive_links_np(url_hash: np.ndarray, phash: np.ndarray) -> tuple[list[list[
         ints = []
         for k in range(int(n_int[i])):
             m = int(slots_i[k][i])
-            path = f"/p{m % INTERNAL_PATHS}"
+            page = m % INTERNAL_PATHS
+            form = (m >> 24) % 10
+            if form < 6:
+                path = f"/p{page}"
+            elif form < 8:
+                path = f"p{page}"
+            else:
+                path = f"./p{page}"
             if (m >> 20) % 10 == 0:  # ~10% nofollow links
                 path += "#nofollow"
             ints.append(path)
@@ -405,23 +416,34 @@ def expand_internal_links(
     """parsed -> candidate same-domain task rows (url, depth).
 
     Order of gates mirrors rules.rs:56-93: per-page cap (F7) ->
-    nofollow (F5) -> depth (F8). Robots disallow (F10/S6) is applied
-    once at enqueue admission via robots_blocked_col.
+    nofollow (F5, on the RAW href's fragment marker, before the
+    canonicalizer strips fragments) -> depth (F8) -> F2 canonicalize
+    the raw href against the fetched page's base URL (the redirect-
+    followed final_url) with the vectorized resolver. Robots disallow
+    (F10/S6) is applied once at enqueue admission via
+    robots_blocked_col.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    from .urls import canonicalize_series
+
+    @pandas_udf("string")
+    def canon(href: pd.Series, base: pd.Series) -> pd.Series:
+        return canonicalize_series(href, base)
+
     links = (
         parsed.select(
-            "domain",
+            F.coalesce("final_url", "url").alias("base"),
             (F.col("depth") + 1).alias("link_depth"),
             F.posexplode("internal_paths").alias("pos", "path"),
         )
         .filter(F.col("pos") < links_per_page)
         .filter(~F.col("path").endswith("#nofollow"))
         .filter(F.col("link_depth") <= max_depth)
-        .select("domain", "path", F.col("link_depth").alias("depth"))
     )
     return links.select(
-        F.concat(F.lit("http://"), F.col("domain"), F.col("path")).alias("url"),
-        "depth",
+        canon(F.col("path"), F.col("base")).alias("url"),
+        F.col("link_depth").alias("depth"),
     )
 
 

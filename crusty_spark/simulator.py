@@ -19,11 +19,13 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+from .fetch import INTERNAL_PATHS as _INTERNAL_PATHS
 from .fetch import py_derive_links, py_resolve_redirects, py_status_of  # noqa: F401
 from .fixtures import TLD_WHITELIST, gen_image_row, robots_rules_for
 from .frontier import CrawlConfig
 from .hashing import spark_xxhash64_str
 from .urls import (
+    canonicalize_series,
     py_addr_key_of,  # noqa: F401  (re-exported for tests)
     py_addr_key_policy,
     py_host_of,
@@ -177,7 +179,7 @@ class SimCrawler:
         for ak, (dom, le, ttl) in self.leases.items():
             j = self.jobs.get(dom)
             if j is None:
-                j = SimJob(domain=dom, shard=py_shard_of(py_addr_key_of(dom), cfg.shard_total),
+                j = SimJob(domain=dom, shard=py_shard_of(ak, cfg.shard_total),
                            tokens=float(cfg.domain_concurrency), last_refill_epoch=epoch)
                 self.jobs[dom] = j
             _, delay = self._robots_of(dom)
@@ -207,18 +209,22 @@ class SimCrawler:
             j.pages_crawled += 1
             j.tokens -= 1.0
             # F9: follow the <=5-hop synthetic redirect chain exactly as
-            # fetch.with_redirect_chain does (rules.rs:79-86)
-            final_hash, status, _hops = py_resolve_redirects(t.url_hash, cfg.max_redirect)
+            # fetch.resolve_redirects_np does (rules.rs:79-86)
+            final_hash, status, hops = py_resolve_redirects(t.url_hash, cfg.max_redirect)
             if status != 200:
                 continue
             idx = final_hash % self.n_images
             ph = self._phash_of(idx)
             ints, exts = py_derive_links(final_hash, ph)
             nd = t.depth + 1
+            # base for F2 href resolution: the redirect-followed page
+            base = (
+                f"http://{t.domain}/r{final_hash % _INTERNAL_PATHS}" if hops else t.url
+            )
             for k, path in enumerate(ints):
                 if k >= cfg.links_per_page or path.endswith("#nofollow") or nd > cfg.max_depth:
                     continue
-                internal_cands.append((t.domain, path, nd))
+                internal_cands.append((base, path, t.domain, nd))
             src_t = py_transform_domain(t.domain, cfg.second_level_only)
             for e in exts:
                 # rules.rs:36-43: transform the linked name, suppress
@@ -242,10 +248,22 @@ class SimCrawler:
                 ext_dedup.add(e)
                 external_cands.append(e)
 
-        # internal enqueue (min-depth rule for within-batch duplicates)
-        self._enqueue_min(
-            [(f"http://{dom}{path}", dom, depth) for dom, path, depth in internal_cands]
-        )
+        # internal enqueue: F2 canonicalize raw hrefs against their base
+        # with the SAME vectorized resolver the engine uses, then the
+        # min-depth rule for within-batch duplicates
+        if internal_cands:
+            import pandas as pd
+
+            canon = canonicalize_series(
+                pd.Series([p for _, p, _, _ in internal_cands]),
+                pd.Series([b for b, _, _, _ in internal_cands]),
+            )
+            self._enqueue_min(
+                [
+                    (canon.iat[i], dom, depth)
+                    for i, (_, _, dom, depth) in enumerate(internal_cands)
+                ]
+            )
 
         # discovery enqueue: minus known frontier domains, minus seen
         frontier_domains = {t.domain for t in self.tasks.values()}

@@ -65,3 +65,26 @@ def test_fetch_surface_has_redirect_columns(spark):
             assert r.final_url == r.url
         if r.status != 200:
             assert r.internal_paths == [] and r.external_domains == []
+
+
+def test_link_expansion_canonicalizes_href_forms(spark):
+    """F2 wiring: raw hrefs in every emitted form (root-relative, bare,
+    dot-relative) resolve against the page base to the SAME canonical
+    URL; the nofollow fragment marker is honored BEFORE the
+    canonicalizer would strip it."""
+    from crusty_spark.fetch import expand_internal_links
+
+    df = spark.createDataFrame(
+        [("http://a.com/p3", None, 0, ["/p5", "p5", "./p5", "p6#nofollow"])],
+        "url string, final_url string, depth int, internal_paths array<string>",
+    )
+    rows = expand_internal_links(df, links_per_page=100, max_depth=25).collect()
+    assert [r.url for r in rows] == ["http://a.com/p5"] * 3
+    assert all(r.depth == 1 for r in rows)
+    # redirected page: hrefs resolve against the FINAL url's host/path
+    df2 = spark.createDataFrame(
+        [("http://a.com/p3", "http://a.com/r9", 2, ["p7"])],
+        "url string, final_url string, depth int, internal_paths array<string>",
+    )
+    rows2 = expand_internal_links(df2, 100, 25).collect()
+    assert [r.url for r in rows2] == ["http://a.com/p7"]
