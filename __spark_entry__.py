@@ -527,6 +527,15 @@ def q_image_decode(spark, sf_dir):
     return images_df(spark, 48).mapInPandas(check, "image_id string, fmt string, phash_ok int")
 
 
+def q_image_stats(spark, sf_dir):
+    """Multimodal decode + feature extraction over the payload table
+    (rows-only check — no image tables exist on the oracle side)."""
+    from crusty_spark.fixtures import images_df
+    from crusty_spark.training.images import image_stats
+
+    return image_stats(images_df(spark, 48)).orderBy("image_id")
+
+
 def _redirect_chain_sql(h: str) -> str:
     """DuckDB twin of q_redirect_chain: the 5 hops unrolled as CTEs."""
     red = "((uh >> 17) % 50) IN (2, 3)"
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_gate": q_bloom_gate,
         "q_crawl_epoch": q_crawl_epoch,
         "q_image_decode": q_image_decode,
+        "q_image_stats": q_image_stats,
     }
 
 

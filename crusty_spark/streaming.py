@@ -51,6 +51,54 @@ def windowed_task_rates(events: DataFrame, window: str = "2 seconds", watermark:
     )
 
 
+def url_event_stream(spark: SparkSession, rows_per_second: int = 500, n_domains: int = 8, n_paths: int = 40) -> DataFrame:
+    """Synthetic discovered-URL stream: repeats are frequent by
+    construction (value space n_domains x n_paths), which is what the
+    stateful seen-filter below exists to drop."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(
+            F.lit("site"), F.pmod(F.xxhash64("value"), F.lit(n_domains)).cast("string"),
+            F.lit(".com"),
+        ).alias("domain"),
+        F.pmod(F.xxhash64("value", F.lit(7)), F.lit(n_paths)).alias("url_hash"),
+    )
+
+
+def streaming_seen_filter(events: DataFrame, max_state: int = 100_000) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-domain URL-seen set that passes only FIRST occurrences through —
+    the in-stream analog of the crawl loop's J7 discovery dedup / J1
+    history gate (reference lib.rs:187-194), for deployments that feed
+    the frontier from a continuous discovery stream instead of epoch
+    batches. State per domain is a bounded array of seen url_hashes
+    (beyond ``max_state`` new URLs are dropped, the LRU-cap analog of
+    conf/default.yaml:249-254)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for uh in pdf["url_hash"]:
+                uh = int(uh)
+                if uh not in seen and len(seen) < max_state:
+                    seen.add(uh)
+                    out.append((key[0], uh))
+        state.update((list(seen),))
+        yield pd.DataFrame(out, columns=["domain", "url_hash"])
+
+    return events.groupBy("domain").applyInPandasWithState(
+        dedup,
+        outputStructType="domain string, url_hash long",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_metrics_stream(spark: SparkSession, seconds: float = 15.0, rows_per_second: int = 500) -> DataFrame:
     """NOTE: append mode emits a window only after the watermark passes
     its end AND a later trigger fires — budget `seconds` accordingly

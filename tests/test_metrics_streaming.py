@@ -97,3 +97,37 @@ def test_domain_topk_history_persisted(spark, crawled):
     }
     for k, v in snapshot.items():
         assert abs(latest[k] - v) < 1e-12
+
+
+def test_streaming_stateful_seen_filter(spark):
+    """applyInPandasWithState seen-set: across every micro-batch of a
+    repeat-heavy stream, each (domain, url_hash) is emitted AT MOST
+    once, and something is actually emitted."""
+    import time
+    import uuid
+
+    from crusty_spark.streaming import streaming_seen_filter, url_event_stream
+
+    name = f"seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_seen_filter(url_event_stream(spark, rows_per_second=400))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 25
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 20:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 20
+    keys = [(r.domain, r.url_hash) for r in rows]
+    assert len(keys) == len(set(keys)), "stateful filter emitted a duplicate"
+    # value space is 8 domains x 40 paths: the cap on distinct emissions
+    assert len(set(keys)) <= 8 * 40
