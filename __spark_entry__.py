@@ -527,6 +527,15 @@ def q_image_decode(spark, sf_dir):
     return images_df(spark, 48).mapInPandas(check, "image_id string, fmt string, phash_ok int")
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end composed cleaning pipeline (training.pipeline):
+    quality gate -> language gate -> exact dedup -> MinHash near-dup
+    drop — the whole chain oracle-checked as one query."""
+    from crusty_spark.training.pipeline import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_image_stats(spark, sf_dir):
     """Multimodal decode + feature extraction over the payload table
     (rows-only check — no image tables exist on the oracle side)."""
@@ -555,6 +564,66 @@ def _redirect_chain_sql(h: str) -> str:
                     ELSE 200 END AS final_status,
                cast(hops AS int) AS hops
         FROM h5) GROUP BY 1, 2""".format(ctes=",\n      ".join(hops))
+
+
+def _clean_corpus_sql(h: str) -> str:
+    """DuckDB twin of training.pipeline.clean_corpus, CTE per stage."""
+    toks = _TOKS_SQL.format(x="text")
+    stop_en = "['the','and','of','to','a','in','is','it','that','for']"
+    stop_de = "['der','die','das','und','ist','nicht','ein','mit','zu','den']"
+    stop_fr = "['le','la','les','et','est','un','une','des','que','pour']"
+    ch = h.format(x="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    mh_cols = ", ".join(
+        "min({hh}) AS mh{i}".format(hh=h.format(x=f"shingle || ':{i}'"), i=i)
+        for i in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {hh} AS band_key FROM mh".format(
+            b=b,
+            hh=h.format(
+                x=f"concat(cast(mh{2 * b} AS varchar), '_', cast(mh{2 * b + 1} AS varchar))"
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+      WITH ann AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))::double
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               len(list_intersect(dt, {stop_en})) AS s_en,
+               len(list_intersect(dt, {stop_de})) AS s_de,
+               len(list_intersect(dt, {stop_fr})) AS s_fr
+        FROM (SELECT doc_id, text, list_distinct({toks}) AS dt FROM documents)),
+      kept1 AS (
+        SELECT doc_id, text FROM ann
+        WHERE n_chars >= 60 AND punct_ratio <= 0.2
+          AND greatest(s_en, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_de, s_fr)),
+      reps AS (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id, {ch} AS content_hash FROM kept1) GROUP BY content_hash),
+      kept2 AS (SELECT k.doc_id, k.text FROM kept1 k JOIN reps r ON r.doc_id = k.doc_id),
+      t AS (SELECT doc_id, {toks} AS toks FROM kept2),
+      s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+      ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      mh AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+      bands AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::double
+                       / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                       6) AS j
+          FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
+        WHERE j >= 0.3),
+      dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      SELECT k.doc_id, cast(length(k.text) AS int) AS n_chars
+      FROM kept2 k WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)"""
 
 
 def _minhash_tail(h: str) -> str:
@@ -622,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_embed_neardup": q_embed_neardup,
+        "q_clean_corpus": q_clean_corpus,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
@@ -844,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": shingle_cte
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3",
         "q_minhash_lsh": shingle_base + _minhash_tail(h),
+        "q_clean_corpus": _clean_corpus_sql(h),
         "q_simhash": f"""
             SELECT doc_id,
                    cast(sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END)

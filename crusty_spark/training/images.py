@@ -147,6 +147,65 @@ def decode_fake_video(data: bytes) -> list[bytes]:
     return frames
 
 
+# --- audio: deterministic fake PCM container + feature extraction -----
+
+_AUD_MAGIC = b"FAUD1"
+
+
+def encode_fake_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono PCM in a deterministic stand-in container (no audio
+    codec exists in this sandbox; the feature plumbing is real)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    return _AUD_MAGIC + struct.pack("<II", rate, len(samples)) + samples.tobytes()
+
+
+def decode_fake_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:5] != _AUD_MAGIC:
+        raise NotImplementedError(
+            "no real audio codec in this container — only the 'fakeaud' "
+            "deterministic stand-in is decodable (swap this seam for "
+            "soundfile/ffmpeg in a full deployment)"
+        )
+    rate, n = struct.unpack("<II", data[5:13])
+    return np.frombuffer(data[13 : 13 + 2 * n], dtype=np.int16), rate
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Decode + per-clip features (duration, RMS level, zero-crossing
+    count) in one Arrow pass — the audio leg of the multimodal
+    feature-extraction surface."""
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for audio_id, b in zip(pdf["audio_id"], pdf["bytes"]):
+                s, rate = decode_fake_audio(bytes(b))
+                f = s.astype(np.float64)
+                zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if len(s) > 1 else 0
+                out.append(
+                    (
+                        audio_id, len(s), rate, len(s) / rate,
+                        float(np.sqrt((f * f).mean())) if len(s) else 0.0, zc,
+                    )
+                )
+            yield pd.DataFrame(out, columns=AUDIO_STATS_SCHEMA.fieldNames())
+
+    return audio.select("audio_id", "bytes").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType(), False),

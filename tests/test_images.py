@@ -69,3 +69,21 @@ def test_sample_frames_and_codec_seam(spark):
     # the real-codec seam is explicit
     with pytest.raises(NotImplementedError):
         IM.decode_fake_video(b"RIFFxxxx-not-a-fake-container")
+
+
+def test_audio_stats_and_seam(spark):
+    rng = np.random.default_rng(5)
+    clips = []
+    for a in range(4):
+        s = (rng.standard_normal(16_000 * (a + 1)) * 3000).astype(np.int16)
+        clips.append((f"aud-{a}", IM.encode_fake_audio(s, 16_000), s))
+    df = spark.createDataFrame([(i, b) for i, b, _ in clips], "audio_id string, bytes binary")
+    rows = {r.audio_id: r for r in IM.audio_stats(df).collect()}
+    for aid, _, s in clips:
+        r = rows[aid]
+        assert r.n_samples == len(s) and r.rate == 16_000
+        assert abs(r.duration_s - len(s) / 16_000) < 1e-9
+        f = s.astype(np.float64)
+        assert abs(r.rms - np.sqrt((f * f).mean())) < 1e-9
+    with pytest.raises(NotImplementedError):
+        IM.decode_fake_audio(b"ID3\x00not-a-fake-container")
