@@ -165,6 +165,21 @@ class Crawler:
             )
         self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
 
+    def prune_snapshots(self, keep: int = 3) -> None:
+        """Expire old epoch snapshots, keeping the most recent `keep`
+        (the Iceberg expire_snapshots analog — a week-long crawl must
+        not accumulate one full state copy per epoch). The manifest's
+        current epoch is always within the kept window; the append-only
+        metrics tables under metrics/ are never pruned."""
+        import glob
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        dirs = sorted(glob.glob(os.path.join(self.ckpt, "epoch=*")))
+        for d in dirs[:-keep]:
+            shutil.rmtree(d, ignore_errors=True)
+
     def resume(self) -> None:
         with open(os.path.join(self.ckpt, "manifest.json")) as f:
             manifest = json.load(f)
@@ -188,10 +203,12 @@ class Crawler:
         # J4 lease TTL expiry: dead nodes' work re-exposed (lib.rs:133-141)
         live = leases.filter(F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch))
 
-        # S2/J2/J3/O2: dequeue under politeness
-        new_leases = FR.dequeue(frontier, live, job_state, epoch, cfg)
-        leases = live.unionByName(new_leases).cache()
+        # S2/J2/J3/O2: dequeue under politeness. Cache BEFORE counting:
+        # the count and the later leases-union materialization would
+        # otherwise each run the whole dequeue chain
+        new_leases = FR.dequeue(frontier, live, job_state, epoch, cfg).cache()
         n_dequeued = new_leases.count()
+        leases = live.unionByName(new_leases).cache()
 
         # token-bucket allowance for every live lease
         allow = FR.allowance(job_state, leases, self.robots, epoch, cfg).cache()
@@ -381,14 +398,21 @@ class Crawler:
             queued_after=n_enq,
             took_s=time.monotonic() - t0,
         )
-        for df in (leases, allow, tasks, parsed, done, disc_id):
+        for df in (new_leases, leases, allow, tasks, parsed, done, disc_id):
             df.unpersist()
         return stats
 
-    def run(self, n_epochs: int, stop_when_idle: bool = True) -> list[EpochStats]:
+    def run(
+        self,
+        n_epochs: int,
+        stop_when_idle: bool = True,
+        prune_keep: int | None = None,
+    ) -> list[EpochStats]:
         out = []
         for _ in range(n_epochs):
             s = self.run_epoch()
+            if prune_keep is not None:
+                self.prune_snapshots(prune_keep)
             out.append(s)
             if stop_when_idle and s.fetched == 0 and s.queued_after == 0:
                 break

@@ -187,3 +187,30 @@ def test_topk_matches_simulator(crawl, sim):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_snapshot_pruning_keeps_resumability(spark, tmp_path):
+    """prune_snapshots (expire_snapshots analog): old epoch dirs are
+    removed, the newest `keep` remain, and a fresh process still resumes
+    from the latest snapshot."""
+    import glob
+    import os
+
+    cfg4 = CrawlConfig(
+        shard_total=4, dequeue_limit=50, domain_concurrency=2,
+        lease_ttl_epochs=5, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    ck = str(tmp_path / "ckpt_prune")
+    c = Crawler(spark, images, N_IMAGES, ck, cfg=cfg4)
+    c.init_empty()
+    c.seed(seed_urls(8))
+    c.run(4, stop_when_idle=False, prune_keep=2)
+    dirs = sorted(glob.glob(os.path.join(ck, "epoch=*")))
+    assert [os.path.basename(d) for d in dirs] == ["epoch=000003", "epoch=000004"]
+    c2 = Crawler(spark, images, N_IMAGES, ck, cfg=cfg4)
+    c2.resume()
+    assert c2.epoch == 4
+    c2.run(1, stop_when_idle=False)  # must not need pruned history
+    assert c2.epoch == 5
