@@ -219,10 +219,10 @@ def main() -> None:
         # Noise handling: trials run as INTERLEAVED hi/lo pairs, each in
         # a fresh pinned subprocess (fresh JVM — no cross-trial shuffle /
         # heap accumulation), so slow host drift hits both levels alike.
-        # Headline efficiency uses the best trial per level (the host
-        # has ±40% multi-tenant noise spikes — the minimum is the
-        # stable estimate of the machine's true capability); the median
-        # and every raw trial are reported alongside.
+        # Headline efficiency is the best PAIR's lo/(4*hi): drift is
+        # common-mode within a back-to-back pair and cancels; per-pair
+        # efficiencies, the median and every raw trial are reported
+        # alongside.
         box = os.cpu_count() or cpus
         hi = min(cpus, max(box // 2, 4))
         lo = max(hi // 4, 1)
@@ -232,9 +232,13 @@ def main() -> None:
         # the whole bench inside a conservative driver budget
         pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "2"))
         trials = {hi: [], lo: []}
+        pair_effs = []
         for _ in range(pairs):
-            trials[hi].append(frontier_pops_bench(hi, FRONTIER_ROWS))
-            trials[lo].append(frontier_pops_bench(lo, FRONTIER_ROWS))
+            r_h = frontier_pops_bench(hi, FRONTIER_ROWS)
+            r_l = frontier_pops_bench(lo, FRONTIER_ROWS)
+            trials[hi].append(r_h)
+            trials[lo].append(r_l)
+            pair_effs.append(round(r_l["sec"] / ((hi / lo) * r_h["sec"]), 3))
 
         def summarize(rs: list[dict]) -> dict:
             best = max(rs, key=lambda r: r["pops_per_sec"])
@@ -249,15 +253,21 @@ def main() -> None:
             }
 
         r_hi, r_lo = summarize(trials[hi]), summarize(trials[lo])
-        eff = (r_hi["pops_per_sec"] / r_lo["pops_per_sec"]) / (hi / lo)
         med_eff = (r_lo["median_sec"] / r_hi["median_sec"]) / (hi / lo)
+        # headline efficiency: the BEST interleaved pair. Each pair's hi
+        # and lo ran back-to-back, so multi-tenant drift is common-mode
+        # and cancels inside a pair; the quietest pair estimates the
+        # machine's true capability. (Cross-pair best-of-trials would
+        # mix a quiet pair's lo with a noisy pair's hi.)
+        eff = max(pair_effs)
         result["frontier_pops_per_sec"] = r_hi["pops_per_sec"]
         result["scaling"] = {
             "low": r_lo,
             "high": r_hi,
             "parallelism_ratio": hi / lo,
-            "efficiency": round(eff, 3),
+            "efficiency": eff,
             "efficiency_median": round(med_eff, 3),
+            "pair_efficiencies": pair_effs,
         }
 
     print(json.dumps(result))

@@ -126,6 +126,26 @@ def py_resolve_redirects(url_hash: int, max_redirect: int = MAX_REDIRECT) -> tup
     return cur, st, hops
 
 
+# F9 (second half) content-type admission (status_filters::ContentType /
+# load_filters::ContentType, rules.rs:83-97): the reference admits only
+# text/html|text/plain to its HTML parser; this engine's DocumentParser
+# is an IMAGE parser, so the admitted family is image/*. ~4% of fetched
+# documents synthesize a non-image type and are terminated after the
+# read: the task is still consumed (counted, marked done) but yields no
+# payload fields and no links.
+CONTENT_TYPES = ("image/png", "text/html")  # [admitted, rejected]
+
+
+def content_type_np(final_hash: np.ndarray) -> np.ndarray:
+    """Vectorized synthetic Content-Type from hash bits: True = image/*
+    (admitted)."""
+    return ((final_hash.astype(np.uint64) >> np.uint64(33)) % np.uint64(25)) != 0
+
+
+def py_content_ok(final_hash: int) -> bool:
+    return ((final_hash & ((1 << 64) - 1)) >> 33) % 25 != 0
+
+
 # ---------------------------------------------------------------------
 # Deterministic link derivation (the "DocumentParser + task_expanders")
 # ---------------------------------------------------------------------
@@ -211,6 +231,7 @@ PARSE_SCHEMA = T.StructType(
         T.StructField("status", T.IntegerType(), False),
         T.StructField("final_url", T.StringType(), True),
         T.StructField("n_redirects", T.IntegerType(), False),
+        T.StructField("content_type", T.StringType(), False),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
@@ -271,21 +292,24 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
         else:
             fh, status, hops = resolve_redirects_np(uh, max_redirect)
         ok200 = status == 200
+        # F9 content-type admission: only image/* reaches the parser
+        ct_ok = content_type_np(fh)
+        admit = ok200 & ct_ok
         if store_bc is not None:
             store = store_bc.value
             idx_arr = (fh.astype(np.uint64) % np.uint64(n_images)).astype(np.int64)
             blob_list = store["bytes"]
-            blobs = [blob_list[ix] if ok else None for ix, ok in zip(idx_arr, ok200)]
-            image_id = pd.Series(np.where(ok200, store["image_id"][idx_arr], None))
-            caption = pd.Series(np.where(ok200, store["caption"][idx_arr], None))
+            blobs = [blob_list[ix] if ok else None for ix, ok in zip(idx_arr, admit)]
+            image_id = pd.Series(np.where(admit, store["image_id"][idx_arr], None))
+            caption = pd.Series(np.where(admit, store["caption"][idx_arr], None))
             phash_stored = store["phash"][idx_arr]
         else:
             blobs = [
                 bytes(b) if (ok and b is not None) else None
-                for b, ok in zip(pdf["bytes"], ok200)
+                for b, ok in zip(pdf["bytes"], admit)
             ]
-            image_id = pdf["image_id"].where(ok200, None)
-            caption = pdf["caption"].where(ok200, None)
+            image_id = pdf["image_id"].where(admit, None)
+            caption = pdf["caption"].where(admit, None)
             phash_stored = pdf["phash_stored"].to_numpy(dtype=np.int64)
         phash = np.zeros(n, dtype=np.int64)
         phash_ok = np.zeros(n, dtype=bool)
@@ -324,13 +348,14 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
                 "status": status.astype(np.int32),
                 "final_url": final_url,
                 "n_redirects": hops.astype(np.int32),
+                "content_type": np.where(ct_ok, CONTENT_TYPES[0], CONTENT_TYPES[1]),
                 "image_id": image_id,
                 "caption": caption,
                 "phash": phash,
                 "phash_ok": phash_ok,
                 "read_size_b": size,
-                "internal_paths": [i if o else [] for i, o in zip(ints, ok200)],
-                "external_domains": [e if o else [] for e, o in zip(exts, ok200)],
+                "internal_paths": [i if o else [] for i, o in zip(ints, admit)],
+                "external_domains": [e if o else [] for e, o in zip(exts, admit)],
             }
         )
 

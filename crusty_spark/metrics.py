@@ -29,7 +29,10 @@ def task_metrics(parsed: DataFrame, epoch: int) -> DataFrame:
         "domain",
         "url",
         "status",
-        F.when(F.col("status") == 200, "ok").otherwise("error").alias("term_by"),
+        F.when(F.col("status") != 200, "error")
+        .when(~F.col("content_type").startswith("image/"), "filtered")
+        .otherwise("ok")
+        .alias("term_by"),
         F.coalesce("read_size_b", F.lit(0)).alias("read_size_b"),
         F.coalesce("phash_ok", F.lit(False)).alias("payload_ok"),
     )

@@ -20,7 +20,12 @@ import math
 from dataclasses import dataclass, field
 
 from .fetch import INTERNAL_PATHS as _INTERNAL_PATHS
-from .fetch import py_derive_links, py_resolve_redirects, py_status_of  # noqa: F401
+from .fetch import (  # noqa: F401
+    py_content_ok,
+    py_derive_links,
+    py_resolve_redirects,
+    py_status_of,
+)
 from .fixtures import TLD_WHITELIST, gen_image_row, robots_rules_for
 from .frontier import CrawlConfig
 from .hashing import spark_xxhash64_str
@@ -212,6 +217,10 @@ class SimCrawler:
             # fetch.resolve_redirects_np does (rules.rs:79-86)
             final_hash, status, hops = py_resolve_redirects(t.url_hash, cfg.max_redirect)
             if status != 200:
+                continue
+            # F9 content-type admission (fetch.py_content_ok): non-image
+            # documents terminate after the read — no payload, no links
+            if not py_content_ok(final_hash):
                 continue
             idx = final_hash % self.n_images
             ph = self._phash_of(idx)

@@ -49,9 +49,10 @@ def test_dashboard_aggregates(spark, crawled):
     assert all(r.pages > 0 for r in rows)
     ok = sum(r.pages for r in rows if r.term_by == "ok")
     err = sum(r.pages for r in rows if r.term_by == "error")
+    filt = sum(r.pages for r in rows if r.term_by == "filtered")
     total = sum(s.fetched for s in stats)
-    assert ok + err == total
-    assert ok > err  # ~94% of statuses are 200 by construction
+    assert ok + err + filt == total
+    assert ok > err + filt  # ~90% 200s, ~4% content-filtered by construction
 
     qt = M.queue_throughput(M.read_metrics(spark, ckpt, "metrics_queue")).collect()
     assert {r.epoch for r in qt} == {s.epoch for s in stats}

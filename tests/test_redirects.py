@@ -88,3 +88,32 @@ def test_link_expansion_canonicalizes_href_forms(spark):
     )
     rows2 = expand_internal_links(df2, 100, 25).collect()
     assert [r.url for r in rows2] == ["http://a.com/p7"]
+
+
+def test_content_type_admission(spark):
+    """F9 second half (ContentType filters, rules.rs:83-97): ~4% of
+    200-status documents synthesize a non-image type — they keep their
+    status but yield no payload fields and no links, and are labeled
+    'filtered' in metrics_task."""
+    from crusty_spark import fetch as FE
+    from crusty_spark import frontier as FR
+    from crusty_spark import metrics as M
+    from crusty_spark.fixtures import images_df, seed_urls
+
+    cfg = FR.CrawlConfig(shard_total=4)
+    tasks = FR.identity_for_urls(
+        spark.createDataFrame([(u,) for u in seed_urls(400)], ["url"]), cfg
+    )
+    images = images_df(spark, 32)
+    store = FE.payload_store(images)
+    parsed = FE.fetch_and_parse(tasks, images, 32, store_bc=store)
+    rows = parsed.collect()
+    rejected = [r for r in rows if r.status == 200 and not r.content_type.startswith("image/")]
+    admitted = [r for r in rows if r.status == 200 and r.content_type.startswith("image/")]
+    assert rejected and admitted
+    for r in rejected:
+        assert r.image_id is None and r.internal_paths == [] and r.external_domains == []
+    for r in admitted:
+        assert r.image_id is not None
+    terms = {r.term_by for r in M.task_metrics(parsed, 1).collect()}
+    assert "filtered" in terms and "ok" in terms
