@@ -8,8 +8,8 @@ Shapes follow FIXTURES.md; semantics mirror the reference:
   workspace/main/src/config.rs:283-292).
 - ``robots`` — per-domain disallow rules standing in for robots.txt
   fetch+cache (reference workspace/main/src/rules.rs:71-73,88-93).
-- TLD whitelist — small public-suffix subset standing in for the
-  reference's 1,499-entry tld.txt (crusty.rs:83-88).
+- TLD whitelist — the full IANA root-zone list (data/tld.txt, public
+  data, same vintage as the reference's tld.txt, crusty.rs:83-88).
 
 Synthesis is numpy-vectorized; images are built in batches so the
 generator itself scales (mapInPandas over spark.range for big scales).
@@ -76,8 +76,8 @@ IMAGES_SCHEMA = T.StructType(
 
 def gen_image_row(i: int, sizes: list[int] | None = None) -> tuple:
     """Deterministic image row i (used by tests and the Spark generator).
-    `sizes` narrows the (h, w) choices — the bench uses [32] so its
-    payload stage is CPU-bound rather than single-box-memory-bound."""
+    `sizes` narrows the (h, w) choices — the bench uses [64] so its
+    payload stage stays compute-dense per byte (BASELINE.md)."""
     if sizes is None:
         sizes = SIZES
     rng = np.random.default_rng(SEED + i)
