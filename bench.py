@@ -162,7 +162,7 @@ def _frontier_pops_bench_inproc(cpus: int, n_rows: int) -> dict:
 
         for _ in range(int(os.environ.get("BENCH_WARMUPS", "1"))):
             epoch_and_clean()  # warm-up: worker fork+imports, JIT
-        repeats = int(os.environ.get("BENCH_EPOCH_REPEATS", "2"))
+        repeats = int(os.environ.get("BENCH_EPOCH_REPEATS", "1"))
         runs = []
         for _ in range(repeats):
             runs.append(epoch_and_clean())
@@ -226,11 +226,11 @@ def main() -> None:
         box = os.cpu_count() or cpus
         hi = min(cpus, max(box // 2, 4))
         lo = max(hi // 4, 1)
-        # 2 pairs x best-of-2 epochs = 4 trials per level: measured
-        # spreads are tight (18.6-23.3 s at the high level) and the full
-        # 3-pair run cost ~45 wall-minutes under host noise — this keeps
-        # the whole bench inside a conservative driver budget
-        pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "2"))
+        # 3 pairs x 1 measured epoch each (after a warm-up): noise is
+        # bursty and persists across a subprocess's epochs, so at a fixed
+        # time budget three independent pair draws beat two double-epoch
+        # pairs for the best-pair estimator; total bench stays ~15-20 min
+        pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
         trials = {hi: [], lo: []}
         pair_effs = []
         for _ in range(pairs):
