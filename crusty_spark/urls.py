@@ -231,14 +231,21 @@ def canonicalize_series(href: pd.Series, base: pd.Series) -> pd.Series:
     # default ports
     out = out.str.replace(r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"\1", regex=True)
     out = out.str.replace(r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"\1", regex=True)
-    # collapse /./ and leading ../ noise, then /seg/../ pairs (bounded passes)
+    # collapse /./ noise, /seg/../ pairs, and ".." climbing above the
+    # root (RFC 3986 remove_dot_segments) — on the PATH only: running
+    # the segment patterns over the whole URL lets "/host/.." swallow
+    # the authority through the "//" of the scheme
+    m2 = out.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$")
+    pre, rest = m2[0], m2[1].fillna("")
     for _ in range(8):
-        new = out.str.replace(r"/\.(?=/|$)", "", regex=True)
+        new = rest.str.replace(r"/\.(?=/|$)", "", regex=True)
         new = new.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)", "", regex=True)
-        if new.equals(out):
-            out = new
+        new = new.str.replace(r"^/\.\.(?=/|$)", "", regex=True)
+        if new.equals(rest):
+            rest = new
             break
-        out = new
+        rest = new
+    out = out.mask(pre.notna(), pre + rest)
     # ensure path present after host
     no_path = out.str.match(r"^[a-z][a-z0-9+.-]*://[^/?#]+$")
     out = out.mask(no_path, out + "/")

@@ -61,6 +61,10 @@ CANON_CASES = [
     ("http://a.com/d1/d2/page", "./here", "http://a.com/d1/d2/here"),
     ("http://a.com", "p", "http://a.com/p"),
     ("http://a.com/x", "http://plain.com", "http://plain.com/"),
+    # ".." climbing above the root is dropped (RFC 3986 5.2.4)
+    ("http://a.com/p3", "../p5", "http://a.com/p5"),
+    ("http://a.com/p3", "../../p5", "http://a.com/p5"),
+    ("http://a.com/d/p", "../../../x", "http://a.com/x"),
 ]
 
 
