@@ -65,7 +65,12 @@ def load_config(
             return
         with open(path) as f:
             doc = json.loads(expand_vars(f.read()))
-        seeds.extend(doc.pop("seeds", []))
+        # overlay semantics match the reference's config-crate merge:
+        # a later layer's `seeds` REPLACES the accumulated list (the
+        # config crate overwrites values on merge); only the
+        # CRUSTY_SEEDS env extension below is additive (config.rs:286-288)
+        if "seeds" in doc:
+            seeds[:] = doc.pop("seeds")
         unknown = set(doc) - set(fields)
         if unknown:  # deny_unknown_fields analog
             raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")

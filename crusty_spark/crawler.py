@@ -62,6 +62,13 @@ class Crawler:
 
     TABLES = ("frontier", "leases", "job_state", "seen_bloom", "domain_links", "domain_hits")
 
+    # payload auto-select bound: above this row count the images table is
+    # treated as a genuine big table (equi-join fetch mode) instead of
+    # being collect()ed into the UDF-resident broadcast store — the
+    # driver-OOM guard for callers pointing the Crawler at a real payload
+    # table. At ~3 KB/row this caps the driver copy at ~300 MB.
+    PAYLOAD_STORE_MAX_ROWS = 100_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -70,7 +77,7 @@ class Crawler:
         checkpoint_dir: str,
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
-        payload_in_udf: bool = True,
+        payload_in_udf: bool | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -78,7 +85,13 @@ class Crawler:
         self.n_images = n_images
         # UDF-resident payload fetch (see fetch.payload_store): the
         # faithful fetcher model when the synthetic payload universe is
-        # broadcastable; pass False when `images` is a genuine big table
+        # broadcastable; the equi-join mode when `images` is a genuine
+        # big table. Default (None) auto-selects by table size so a
+        # large payload table never triggers a driver-side collect;
+        # pass True/False to force a mode (results are identical —
+        # tests/test_fetch_modes.py).
+        if payload_in_udf is None:
+            payload_in_udf = images.count() <= self.PAYLOAD_STORE_MAX_ROWS
         self.store_bc = FE.payload_store(images) if payload_in_udf else None
         self.ckpt = checkpoint_dir
         self.robots = robots

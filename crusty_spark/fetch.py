@@ -297,7 +297,13 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
         admit = ok200 & ct_ok
         if store_bc is not None:
             store = store_bc.value
-            idx_arr = (fh.astype(np.uint64) % np.uint64(n_images)).astype(np.int64)
+            # pmod semantics, shared with the join mode (F.pmod on the
+            # signed long) and the simulator (Python %): numpy int64 %
+            # positive divisor is already non-negative. The previous
+            # unsigned-u64 modulo only agreed when n_images was a power
+            # of two — for any other n_images, negative final hashes
+            # resolved to a different image than the join mode.
+            idx_arr = np.mod(fh, np.int64(n_images))
             blob_list = store["bytes"]
             blobs = [blob_list[ix] if ok else None for ix, ok in zip(idx_arr, admit)]
             image_id = pd.Series(np.where(admit, store["image_id"][idx_arr], None))

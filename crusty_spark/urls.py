@@ -232,11 +232,12 @@ def canonicalize_series(href: pd.Series, base: pd.Series) -> pd.Series:
     out = out.str.replace(r"^(http://[^/:?#]*):80(?=[/?#]|$)", r"\1", regex=True)
     out = out.str.replace(r"^(https://[^/:?#]*):443(?=[/?#]|$)", r"\1", regex=True)
     # collapse /./ noise, /seg/../ pairs, and ".." climbing above the
-    # root (RFC 3986 remove_dot_segments) — on the PATH only: running
-    # the segment patterns over the whole URL lets "/host/.." swallow
-    # the authority through the "//" of the scheme
-    m2 = out.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$")
-    pre, rest = m2[0], m2[1].fillna("")
+    # root (RFC 3986 remove_dot_segments) — on the PATH only, excluding
+    # both the authority (so "/host/.." can't swallow it through the
+    # scheme's "//") and the query/fragment (remove_dot_segments applies
+    # to the path component only; "?next=/a/../b" must pass untouched)
+    m2 = out.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)([^?#]*)(.*)$")
+    pre, rest, tail = m2[0], m2[1].fillna(""), m2[2].fillna("")
     for _ in range(8):
         new = rest.str.replace(r"/\.(?=/|$)", "", regex=True)
         new = new.str.replace(r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)", "", regex=True)
@@ -245,7 +246,7 @@ def canonicalize_series(href: pd.Series, base: pd.Series) -> pd.Series:
             rest = new
             break
         rest = new
-    out = out.mask(pre.notna(), pre + rest)
+    out = out.mask(pre.notna(), pre + rest + tail)
     # ensure path present after host
     no_path = out.str.match(r"^[a-z][a-z0-9+.-]*://[^/?#]+$")
     out = out.mask(no_path, out + "/")

@@ -35,6 +35,17 @@ def test_layering_default_profile_local_env(tmp_path, monkeypatch):
     assert seeds == ["http://a.com/", "http://b.com/", "http://c.com/"]
 
 
+def test_seeds_replace_across_layers(tmp_path):
+    """A later layer's `seeds` REPLACES the accumulated list (the
+    reference's config-crate merge overwrites values); only CRUSTY_SEEDS
+    is additive (config.rs:286-288)."""
+    _write(tmp_path / "default.json", {"seeds": ["http://a.com/", "http://b.com/"]})
+    _write(tmp_path / "profile-prod.json", {"seeds": ["http://p.com/"]})
+    cfg, seeds = load_config(str(tmp_path), {"CRUSTY_PROFILE": "prod",
+                                             "CRUSTY_SEEDS": "http://e.com/"})
+    assert seeds == ["http://p.com/", "http://e.com/"]
+
+
 def test_missing_profile_is_an_error(tmp_path):
     _write(tmp_path / "default.json", {})
     with pytest.raises(FileNotFoundError):

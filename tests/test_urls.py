@@ -65,6 +65,11 @@ CANON_CASES = [
     ("http://a.com/p3", "../p5", "http://a.com/p5"),
     ("http://a.com/p3", "../../p5", "http://a.com/p5"),
     ("http://a.com/d/p", "../../../x", "http://a.com/x"),
+    # remove_dot_segments applies to the PATH only — dot segments inside
+    # the query string pass through untouched (RFC 3986 5.2.4 operates
+    # on the path component)
+    ("http://a.com/x", "/login?next=/a/../b", "http://a.com/login?next=/a/../b"),
+    ("http://a.com/x", "/d/../p?q=/./r", "http://a.com/p?q=/./r"),
 ]
 
 
