@@ -32,6 +32,62 @@ def norm_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def banded_candidate_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    member_col: str,
+    id_field: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Within-bucket candidate pairs for ANY banded blocking scheme
+    (MinHash bands, pHash chunks, sign-LSH buckets) — the shared
+    skeleton of the three near-dup detectors.
+
+    ``bands`` has ``key_cols`` (the bucket key) plus ``member_col``, a
+    struct whose ``id_field`` orders members. Returns (a, b) struct
+    pairs with a.id < b.id; a pair appears once per shared bucket, so
+    callers with multi-band schemes dedup downstream.
+
+    Two scale properties, in order:
+
+    1. **Bucket cap** (the skew guard): bucket sizes are counted first
+       (one map-side-combinable aggregation — a bounded buffer, unlike
+       a collect_list of the raw bucket), and buckets over
+       ``max_bucket`` are thinned to ~max_bucket deterministic
+       representatives by hash-sampling ids — no sort or window. A
+       degenerate key (N identical docs / flat images / correlated
+       sign buckets) costs O(max_bucket^2), never O(N^2); the capped
+       bucket still surfaces its duplicate cluster through the kept
+       representatives.
+    2. **No bucket self-join**: after the cap, each bucket's members
+       collect into ONE array (bounded by the cap) and pairs stream
+       out of a nested explode — replacing the sort-merge self-join +
+       its second shuffle of the band table. When the caller hands in
+       a bands table already hash-partitioned on ``key_cols`` (e.g.
+       repartition before persist), the size count, the thinning join
+       and the collect all reuse that single exchange.
+    """
+    m = F.col(member_col)
+    if max_bucket is not None:
+        sizes = bands.groupBy(*key_cols).agg(F.count("*").alias("n_in_bucket"))
+        keep_every = F.ceil(F.col("n_in_bucket") / F.lit(max_bucket)).cast("long")
+        bands = (
+            bands.join(sizes, list(key_cols))
+            .filter(
+                (F.col("n_in_bucket") <= max_bucket)
+                | (F.pmod(F.xxhash64(m[id_field].cast("string")), keep_every) == 0)
+            )
+            .drop("n_in_bucket")
+        )
+    grouped = bands.groupBy(*key_cols).agg(F.collect_list(member_col).alias("ms"))
+    return (
+        grouped.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("a"), F.col("ms").alias("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a")[id_field] < F.col("b")[id_field])
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) texts: representative =
     min(doc_id), plus group size. Hash-agg, map-side combinable."""
@@ -135,12 +191,8 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` bounds the candidate blow-up of degenerate band keys
     (e.g. millions of near-empty docs landing in one bucket would make
-    the self-join quadratic): buckets larger than the cap are thinned to
-    ~max_bucket deterministic representatives by hash-sampling doc_ids —
-    no sort or window, just one extra map-side-combinable count. The
-    capped bucket still surfaces its duplicate cluster through the kept
-    representatives; recall inside mega-buckets is traded for a hard
-    O(max_bucket^2) bound per bucket."""
+    pair generation quadratic) — see banded_candidate_pairs, the shared
+    cap + pair skeleton of all three near-dup detectors."""
     sig = minhash_signatures(docs, n_hashes, k)
     n_bands = n_hashes // band_size
     # one projection + explode, NOT a per-band union: a union would
@@ -158,35 +210,24 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    # both sides of the candidate self-join and nothing else read bands;
-    # persist so the shingle->signature aggregation runs once (lazy, tiny:
-    # n_docs x n_bands rows)
-    bands = bands.persist()
-    capped = bands
-    if max_bucket is not None:
-        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n_in_bucket"))
-        keep_every = F.ceil(F.col("n_in_bucket") / F.lit(max_bucket)).cast("long")
-        capped = (
-            bands.join(sizes, ["band", "band_key"])
-            .filter(
-                (F.col("n_in_bucket") <= max_bucket)
-                | (F.pmod(F.xxhash64(F.col("doc_id").cast("string")), keep_every) == 0)
-            )
-            .drop("n_in_bucket")
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            F.struct(F.col("doc_id").alias("doc_id")).alias("m"),
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
         )
-    x = capped.alias("x")
-    y = capped.alias("y")
+        # ONE explicit exchange on the bucket key, persisted: the size
+        # count, the cap's thinning join and the member collect in
+        # banded_candidate_pairs all reuse this partitioning — and the
+        # shingle->signature aggregation runs once (tiny: n_docs x
+        # n_bands rows)
+        .repartition("band", "band_key")
+        .persist()
+    )
     cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        banded_candidate_pairs(bands, ["band", "band_key"], "m", "doc_id", max_bucket)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     # verify ONLY the candidates: jaccard from per-doc shingle sets via
@@ -248,6 +289,7 @@ def phash_near_dup(
     phash_col: str = "phash",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Image near-duplicates via banded 64-bit perceptual hash: split the
     phash into `n_bands` chunks; candidate pairs share at least one
@@ -256,11 +298,12 @@ def phash_near_dup(
     for max_hamming <= n_bands - 1 (the default 3/4 is the classic
     64-bit near-dup setting). Returns (id_a, id_b, hamming), id_a < id_b.
 
-    Plan shape at 10^10 images: one band projection (no shuffle), one
-    groupBy-style self-join on (band, key) — the same bucketed skeleton
-    as MinHash-LSH — then an O(candidates) bit_count verify. Completes
-    the multimodal dedup story next to the stored phash column
-    (BASELINE.json input_hint)."""
+    Plan shape at 10^10 images: one band projection (no shuffle), then
+    the shared banded_candidate_pairs skeleton — bucket-capped (a
+    degenerate chunk key, e.g. flat images sharing a 16-bit band, costs
+    O(max_bucket^2) not O(N^2)) and join-free — then an O(candidates)
+    bit_count verify. Completes the multimodal dedup story next to the
+    stored phash column (BASELINE.json input_hint)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     band_structs = [
@@ -274,15 +317,13 @@ def phash_near_dup(
         F.col(id_col).alias("id"),
         F.col(phash_col).alias("ph"),
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("id", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    ).select(
+        F.struct(F.col("id").alias("id"), F.col("ph").alias("ph")).alias("m"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        banded_candidate_pairs(bands, ["band", "key"], "m", "id", max_bucket)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("a.ph").alias("ph_a"),
@@ -299,36 +340,47 @@ def phash_near_dup(
 
 
 def embedding_near_dup(
-    emb: DataFrame, threshold: float = 0.95, sign_bits: int = 16
+    emb: DataFrame,
+    threshold: float = 0.95,
+    sign_bits: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH blocking (signature = signs of
     the first `sign_bits` dims) then exact cosine verify inside blocks.
-    Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold."""
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold.
+
+    Real embeddings are CORRELATED, so sign buckets are very
+    non-uniform — the shared banded_candidate_pairs cap bounds a hot
+    bucket at O(max_bucket^2) instead of quadratic. One bucket key per
+    vector (unlike multi-band MinHash), so pairs need no downstream
+    dedup. Memory note: one grouped bucket holds <= max_bucket
+    (vec_id, embedding) structs — at dim 512 float64 that is ~40 MB
+    for the default cap; lower max_bucket for wider vectors."""
     from .similarity import sign_bucket
 
     e0 = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
-    e = e0.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), sign_bits).alias("sig")
+    bands = e0.select(
+        F.struct(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("v")).alias("m"),
+        sign_bucket(F.col("embedding"), sign_bits).alias("sig"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    pairs = banded_candidate_pairs(bands, ["sig"], "m", "vec_id", max_bucket)
     dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda side: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(F.col(f"{side}.embedding"), lambda x: x * x),
+            F.transform(F.col(f"{side}.v"), lambda x: x * x),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
     return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
+        pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),

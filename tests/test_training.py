@@ -37,3 +37,42 @@ def test_minhash_cap_noop_below_bound(spark, sf_dir):
     uncapped = D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None).collect()
     key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
     assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+
+
+def test_phash_bucket_cap_bounds_candidates(spark):
+    """300 identical phashes (e.g. flat images) share every band bucket.
+    Uncapped that is C(300,2)=44,850 pairs; the cap must bound the
+    candidate count while still surfacing the duplicate cluster."""
+    imgs = spark.range(300).select(
+        F.col("id").alias("image_id"), F.lit(0x0F0F0F0F).cast("long").alias("phash")
+    )
+    rows = D.phash_near_dup(imgs, max_hamming=3, max_bucket=20).collect()
+    assert 0 < len(rows) <= 1000
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_phash_cap_noop_below_bound(spark):
+    """Distinct hashes with planted 1-bit twins: cap on vs off must
+    agree exactly when no bucket exceeds the cap."""
+    base = F.xxhash64(F.col("id") % 50)
+    ph = F.when(F.col("id") % 2 == 0, base).otherwise(
+        base.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), 7))
+    )
+    imgs = spark.range(100).select(F.col("id").alias("image_id"), ph.alias("phash"))
+    key = lambda r: (r.id_a, r.id_b, r.hamming)  # noqa: E731
+    capped = sorted(map(key, D.phash_near_dup(imgs, max_bucket=10_000).collect()))
+    uncapped = sorted(map(key, D.phash_near_dup(imgs, max_bucket=None).collect()))
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_embedding_bucket_cap_bounds_candidates(spark):
+    """300 identical embeddings land in ONE sign bucket — the exact
+    correlated-corpus pile-up; the cap must bound the within-bucket
+    pair generation while keeping the duplicate cluster visible."""
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in (0.5, -0.25, 0.125, 1.0)]).alias("embedding"),
+    )
+    rows = D.embedding_near_dup(emb, threshold=0.95, sign_bits=4, max_bucket=20).collect()
+    assert 0 < len(rows) <= 1000
+    assert all(abs(r.cos - 1.0) < 1e-9 for r in rows)
