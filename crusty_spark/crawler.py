@@ -60,7 +60,15 @@ class Crawler:
     module-level pure functions (frontier.py / fetch.py / bloom.py /
     topk.py); this class only sequences them and persists snapshots."""
 
-    TABLES = ("frontier", "leases", "job_state", "seen_bloom", "domain_links", "domain_hits")
+    # frontier_archive: cold storage for finished domains' task rows
+    # (the reference DELETES a finished job's queue bucket,
+    # redis-queue/src/lib.rs:162-169, and keeps only the Bloom; we keep
+    # the rows queryable but OUT of the hot table, so per-epoch scans
+    # and the F4 enqueue anti-join track ACTIVE domains, not crawl age)
+    TABLES = (
+        "frontier", "frontier_archive", "leases", "job_state",
+        "seen_bloom", "domain_links", "domain_hits",
+    )
 
     # payload auto-select bound: above this row count the images table is
     # treated as a genuine big table (equi-join fetch mode) instead of
@@ -99,6 +107,12 @@ class Crawler:
         self.epoch = 0
         self.state: dict[str, DataFrame] = {}
         self.metrics_rows: list[dict] = []
+        # cached domain-partitioned frontier handle (see _load_frontier)
+        self._frontier_cache: DataFrame | None = None
+        self._last_epoch_end: float | None = None
+        # driver-action audit: number of count/collect actions the last
+        # epoch issued (asserted by tests — the epoch contract is 4)
+        self.last_epoch_actions = 0
 
     # ----- state bootstrap / persistence --------------------------------
 
@@ -106,6 +120,7 @@ class Crawler:
         s = self.spark
         self.state = {
             "frontier": FR.empty_frontier(s),
+            "frontier_archive": FR.empty_frontier(s),
             "leases": FR.empty_leases(s),
             "job_state": FR.empty_job_state(s),
             "seen_bloom": B.empty_bloom(s),
@@ -176,7 +191,55 @@ class Crawler:
             self.state[name] = self.spark.read.schema(self.state[name].schema).parquet(
                 os.path.join(d, name)
             )
+        self.state["frontier"] = self._load_frontier(self.state["frontier"])
         self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
+
+    def _load_frontier(self, raw: DataFrame) -> DataFrame:
+        """Give a loaded frontier snapshot the layout every epoch branch
+        assumes: hash-partitioned by domain, cached. One exchange per
+        epoch, after which the dequeue aggregation (grouping keys
+        contain `domain`), the fetch-selection shuffle-hash join AND
+        its per-domain window, and the F4 enqueue anti-join all run
+        WITHOUT moving the big side again (bench.py measures this
+        layout; the loop now runs the measured plan). On Iceberg the
+        snapshot table would be bucketed by domain and the exchange
+        disappears entirely (storage-partitioned scan); shard stays the
+        outer partition for file-level pruning."""
+        n = raw.count()  # the snapshot-load action, not an epoch action
+        if n < self.cfg.frontier_colocate_min_rows:
+            # small snapshot: one in-epoch exchange beats the cache
+            # bookkeeping; skip colocation entirely
+            if self._frontier_cache is not None:
+                self._frontier_cache.unpersist()
+                self._frontier_cache = None
+            return raw
+        fr = (
+            raw.repartition("domain")
+            .sortWithinPartitions("domain", "depth", "url_hash")
+            .cache()
+        )
+        # materialize NOW: a lazy cache reports its partitioning only
+        # after it is built, so the next epoch's first query (the
+        # dequeue) would plan its own exchange before the cache fills
+        fr.count()
+        if self._frontier_cache is not None:
+            self._frontier_cache.unpersist()
+        self._frontier_cache = fr
+        return fr
+
+    def close(self) -> None:
+        """Release the cached frontier colocation (CacheManager holds
+        cached plans until explicitly unpersisted — a long-lived session
+        creating many Crawlers would otherwise accumulate them)."""
+        if self._frontier_cache is not None:
+            try:
+                self._frontier_cache.unpersist()
+            except Exception:
+                pass  # session already stopped
+            self._frontier_cache = None
+
+    def __del__(self):  # best-effort: tests create many short-lived crawlers
+        self.close()
 
     def prune_snapshots(self, keep: int = 3) -> None:
         """Expire old epoch snapshots, keeping the most recent `keep`
@@ -203,12 +266,17 @@ class Crawler:
         for name in self.TABLES:
             schema = self.state[name].schema
             self.state[name] = self.spark.read.schema(schema).parquet(os.path.join(d, name))
+        self.state["frontier"] = self._load_frontier(self.state["frontier"])
         self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
 
     # ----- the epoch ----------------------------------------------------
 
     def run_epoch(self) -> EpochStats:
         t0 = time.monotonic()
+        since_last_ms = (
+            0 if self._last_epoch_end is None else max(int((t0 - self._last_epoch_end) * 1000), 0)
+        )
+        self.last_epoch_actions = 0
         cfg, epoch = self.cfg, self.epoch + 1
         st = self.state
         frontier, leases, job_state = st["frontier"], st["leases"], st["job_state"]
@@ -218,9 +286,18 @@ class Crawler:
 
         # S2/J2/J3/O2: dequeue under politeness. Cache BEFORE counting:
         # the count and the later leases-union materialization would
-        # otherwise each run the whole dequeue chain
+        # otherwise each run the whole dequeue chain.
+        #
+        # Driver-action audit (types.rs:142-154 per-op timing analog):
+        # the epoch issues exactly FOUR count/collect actions, each
+        # pulling triple duty as cache materializer, stage timer, and
+        # gate/stat source — dequeue, fetch, discovery (gates robots
+        # extension), and the fused finish+queue-depth collect. Tests
+        # assert last_epoch_actions == 4.
         new_leases = FR.dequeue(frontier, live, job_state, epoch, cfg).cache()
         n_dequeued = new_leases.count()
+        self.last_epoch_actions += 1
+        t_deq = time.monotonic()
         leases = live.unionByName(new_leases).cache()
 
         # token-bucket allowance for every live lease
@@ -233,6 +310,8 @@ class Crawler:
             max_redirect=cfg.max_redirect,
         ).cache()
         n_fetched = parsed.count()
+        self.last_epoch_actions += 1
+        t_fetch = time.monotonic()
 
         # mark fetched tasks done. The running frontier is referenced by
         # many downstream branches (enqueue anti-joins, discovery 'known',
@@ -264,13 +343,12 @@ class Crawler:
             updated
         )
 
-        # F5-F10: internal link expansion -> re-enqueue
-        internal = FE.expand_internal_links(parsed, cfg.links_per_page, cfg.max_depth)
-        internal_tasks = FR.identity_for_urls(internal, cfg, depth_col="depth")
-        internal_tasks = FE.robots_blocked_col(internal_tasks, self.robots)
-        frontier = FR.enqueue_tasks(frontier, internal_tasks, epoch).localCheckpoint()
-
-        # F11/J1/J7: discovery -> bloom gate -> new jobs
+        # F11/J1/J7: discovery -> bloom gate -> new jobs. Computed
+        # against the PRE-enqueue frontier: internal links only add URLs
+        # of domains already present, so the `known` domain set is
+        # identical — and doing discovery first lets both enqueues share
+        # ONE localCheckpoint below instead of materializing the full
+        # frontier twice per epoch.
         disc = FE.discovery_candidates(parsed, self.tlds, cfg.second_level_only)
         disc_id = FR.identity_for_urls(
             disc.select(F.concat(F.lit("http://"), F.col("domain"), F.lit("/")).alias("url")),
@@ -281,9 +359,20 @@ class Crawler:
         disc_id = disc_id.join(known, "domain", "left_anti")
         disc_id = B.bloom_filter_unseen(st["seen_bloom"], disc_id, "domain").cache()
         n_disc = disc_id.count()
+        self.last_epoch_actions += 1
+        t_disc = time.monotonic()
         if n_disc:
             self._extend_robots(disc_id)
         disc_id = FE.robots_blocked_col(disc_id, self.robots)
+
+        # F5-F10: internal link expansion -> re-enqueue, then the
+        # discovery enqueue (disjoint keys by construction: internal
+        # links stay on existing domains, discovery domains passed the
+        # `known` anti-join)
+        internal = FE.expand_internal_links(parsed, cfg.links_per_page, cfg.max_depth)
+        internal_tasks = FR.identity_for_urls(internal, cfg, depth_col="depth")
+        internal_tasks = FE.robots_blocked_col(internal_tasks, self.robots)
+        frontier = FR.enqueue_tasks(frontier, internal_tasks, epoch)
         frontier = FR.enqueue_tasks(frontier, disc_id, epoch).localCheckpoint()
 
         # link-graph state: per-job linked-domain set (rules.rs:12-48).
@@ -320,7 +409,33 @@ class Crawler:
 
         # finish: release leases, seen-commit, link-hit emit
         done = FR.finish_domains(frontier, leases, updated, epoch, cfg).cache()
-        n_finished = done.count()
+        done_doms = done.select("domain")
+        # archive finished domains' rows OUT of the hot frontier (the
+        # reference deletes a finished job's queue bucket,
+        # redis-queue/src/lib.rs:162-169): the F4 enqueue anti-join and
+        # every frontier scan then grow with ACTIVE width, not crawl
+        # age. Rediscovery stays gated by the seen Bloom (J1, committed
+        # below); per-job URL dedup only needs active domains' rows.
+        frontier_next = frontier.join(done_doms, "domain", "left_anti")
+        archived = frontier.join(done_doms, "domain", "left_semi")
+        # fused action 4: finish gate + post-archive queue depth in ONE
+        # collect (both legs are tiny aggregates)
+        fused = (
+            done_doms.select(F.lit("finished").alias("k"))
+            .unionByName(
+                frontier_next.filter(
+                    (F.col("state") == "queued") & ~F.col("blocked")
+                ).select(F.lit("queued").alias("k"))
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        self.last_epoch_actions += 1
+        t_finish = time.monotonic()
+        fused_counts = {r.k: r.n for r in fused}
+        n_finished = fused_counts.get("finished", 0)
+        n_enq = fused_counts.get("queued", 0)
         leases_next = leases.join(done.select("domain"), "domain", "left_anti")
         job_state = (
             job_state.alias("js")
@@ -354,7 +469,10 @@ class Crawler:
                     "hits",
                 )
             )
-            st["domain_hits"] = TK.add_hits(st["domain_hits"], counts, epoch, cfg.topk_decay)
+            st["domain_hits"] = TK.add_hits(
+                st["domain_hits"], counts, epoch, cfg.topk_decay,
+                k=cfg.topk_k, headroom=cfg.topk_headroom, eps=cfg.topk_prune_eps,
+            )
             domain_links = domain_links.join(done.select("domain"), "domain", "left_anti")
             # persisted domain_topk history (types.rs:400-409,
             # init.sql:65-71): one snapshot per consume epoch so the
@@ -368,26 +486,28 @@ class Crawler:
                 epoch,
             )
 
-        n_enq = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).count()
-
-        # metrics_* appends (ClickHouse-dashboard analog, init.sql:7-71)
+        # metrics_* appends (ClickHouse-dashboard analog, init.sql:7-71);
+        # queue depth samples the HOT (post-archive) table
         M.append_epoch_metrics(self.ckpt, "metrics_task", M.task_metrics(parsed, epoch), epoch)
         M.append_epoch_metrics(self.ckpt, "metrics_job", M.job_metrics(done, epoch), epoch)
         M.append_epoch_metrics(
-            self.ckpt, "metrics_queue", M.queue_metrics(frontier, leases_next, epoch), epoch
+            self.ckpt, "metrics_queue", M.queue_metrics(frontier_next, leases_next, epoch), epoch
         )
 
         self.state.update(
-            frontier=frontier,
+            frontier=frontier_next,
+            frontier_archive=st["frontier_archive"].unionByName(archived),
             leases=leases_next,
             job_state=job_state,
             seen_bloom=seen_bloom,
             domain_links=domain_links,
         )
         self.epoch = epoch
-        # metrics_db analog row (init.sql:7-16) — appended before the
-        # snapshot so the checkpoint persists this epoch's timing
+        # metrics_db analog row (init.sql:7-16; per-stage took_ms +
+        # since_last_ms mirror the reference's per-DB-op timing columns,
+        # types.rs:142-154, dashboard latency panels crusty.json:1517-1543)
         took = time.monotonic() - t0
+        ms = lambda a, b: max(int((b - a) * 1000), 0)  # noqa: E731
         self.metrics_rows.append(
             {
                 "epoch": epoch,
@@ -397,9 +517,15 @@ class Crawler:
                 "finished": n_finished,
                 "queued": n_enq,
                 "took_ms": max(int(took * 1000), 1),
+                "dequeue_ms": ms(t0, t_deq),
+                "fetch_ms": ms(t_deq, t_fetch),
+                "expand_ms": ms(t_fetch, t_disc),
+                "finish_ms": ms(t_disc, t_finish),
+                "since_last_ms": since_last_ms,
             }
         )
         self.checkpoint()
+        self._last_epoch_end = time.monotonic()
 
         stats = EpochStats(
             epoch=epoch,
@@ -434,7 +560,10 @@ class Crawler:
     # ----- inspection helpers -------------------------------------------
 
     def fetched_urls(self) -> DataFrame:
-        return self.state["frontier"].filter(F.col("state") == "done").select("url")
+        """All fetched URLs: hot frontier plus the archived rows of
+        finished domains."""
+        both = self.state["frontier"].unionByName(self.state["frontier_archive"])
+        return both.filter(F.col("state") == "done").select("url")
 
     def seen_domains_exact(self) -> DataFrame:
         return self.state["job_state"].filter(F.col("finished")).select("domain")

@@ -55,6 +55,11 @@ class CrawlConfig:
     seen_expansion: int = 2  # bloom expansion (default.yaml:75)
     topk_k: int = 100  # topk.options.k (default.yaml:174)
     topk_decay: float = 0.92  # topk decay (default.yaml:177)
+    # decayed-hit state bound (the reference sketch's width-25,000 /
+    # k=100 ratio, redis-calc/src/lib.rs:59-66, default.yaml:172-178):
+    # domain_hits keeps rank <= k*headroom per tld and drops hits < eps
+    topk_headroom: int = 250
+    topk_prune_eps: float = 1e-9
     salt_buckets: int = 16  # two-phase argmin fan-out for hot addr_keys
     # topk.collect.second_level_only (default.yaml:180, rules.rs:28-43):
     # linked-domain names collapse to the SLD and self-links compare SLDs
@@ -63,6 +68,31 @@ class CrawlConfig:
     # resolver.addr_ipv6_policy (config.rs:227-231, types.rs:22-40):
     # v4_single (legacy identity) | disabled | preferred | fallback
     addr_ipv6_policy: str = "v4_single"
+    # resolver net blacklist (conf/default.yaml:246-247, types.rs:57-60):
+    # CIDR nets; domains whose synthesized v4 identity falls inside any
+    # are dropped at identity time. Empty by default (the reference's
+    # reserved-net list is a deployment choice; tests exercise non-empty)
+    net_v4_blacklist: tuple[str, ...] = ()
+    # job soft/hard timeouts (conf/default.yaml:212-217), in epochs of
+    # lease age. Soft: the domain stops being ALLOWED new fetches
+    # (allowance -> 0, "drain, don't start"); hard: the job is
+    # force-finished even with queued work, after a deterministic
+    # per-domain jitter in [0, jitter] epochs (the reference adds a
+    # random 60 s so a fleet of stuck jobs doesn't finish in lockstep).
+    # None disables. Distinct from lease_ttl_epochs (J4), which models
+    # dead-NODE recovery: an expired lease re-exposes the work, a hard
+    # timeout retires it.
+    job_soft_timeout_epochs: int | None = None
+    job_hard_timeout_epochs: int | None = None
+    job_hard_timeout_jitter_epochs: int = 0
+    # snapshot-load colocation threshold: below this row count the
+    # reloaded frontier is used as-is (a single exchange inside the
+    # epoch is cheaper than repartition+sort+cache bookkeeping for a
+    # small table); at/above it the snapshot is hash-partitioned by
+    # domain and cached so every epoch branch runs exchange-free on the
+    # big side (on Iceberg the table would be bucketed by domain and
+    # the threshold is moot)
+    frontier_colocate_min_rows: int = 100_000
 
     def bloom_kwargs(self) -> dict:
         return {
@@ -137,6 +167,10 @@ def identity_for_urls(urls: DataFrame, cfg: CrawlConfig, depth_col=None) -> Data
         urls, shard_total=cfg.shard_total, addr_policy=cfg.addr_ipv6_policy
     )
     df = df.filter(F.col("domain").isNotNull() & F.col("addr_key").isNotNull())
+    if cfg.net_v4_blacklist:
+        # resolver net blacklist (default.yaml:246-247): drop domains
+        # whose synthesized v4 identity falls in a blacklisted net
+        df = df.filter(~U.ip_blacklisted_col(F.col("domain"), cfg.net_v4_blacklist))
     depth = F.col("depth") if depth_col else F.lit(0)
     return df.select(
         "url", "url_hash", "domain", "tld", "addr_key", "shard", depth.cast("int").alias("depth")
@@ -301,16 +335,20 @@ def allowance(
 
     rate = concurrency / (1 + crawl_delay) tokens/epoch, cap =
     concurrency; allowed pages this epoch = floor(available tokens),
-    also capped by the remaining page budget (F6). Returns updated
-    job_state rows + 'allowed' for this epoch's leased domains only.
+    also capped by the remaining page budget (F6) and zeroed once the
+    lease age reaches job_soft_timeout_epochs (the reference's
+    soft-timeout "stop queueing new tasks, let in-flight drain" phase,
+    default.yaml:212-214). Returns updated job_state rows + 'allowed'
+    for this epoch's leased domains only.
     """
     base = (
-        leased.select("domain", "shard")
+        leased.select("domain", "shard", "lease_epoch")
         .join(job_state, ["domain", "shard"], "left")
         .join(robots.select("domain", "crawl_delay_epochs"), "domain", "left")
         .select(
             "domain",
             "shard",
+            "lease_epoch",
             F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"),
             F.coalesce("tokens", F.lit(float(cfg.domain_concurrency))).alias("tokens"),
             F.coalesce("last_refill_epoch", F.lit(epoch)).alias("last_refill_epoch"),
@@ -321,6 +359,7 @@ def allowance(
 
     cap = float(cfg.domain_concurrency)
     budget = cfg.page_budget
+    soft = cfg.job_soft_timeout_epochs
 
     def update(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -330,6 +369,9 @@ def allowance(
         tokens = np.minimum(pdf["tokens"].to_numpy(dtype=np.float64) + rate * dt, cap)
         remaining = (budget - pdf["pages_crawled"].to_numpy(dtype=np.int64)).clip(min=0)
         allowed = np.minimum(np.floor(tokens).astype(np.int64), remaining)
+        if soft is not None:
+            age = epoch - pdf["lease_epoch"].to_numpy(dtype=np.int64)
+            allowed = np.where(age >= soft, 0, allowed)
         return pd.DataFrame(
             {
                 "domain": pdf["domain"],
@@ -386,24 +428,34 @@ def finish_domains(
     cfg: CrawlConfig,
 ) -> DataFrame:
     """Domains whose lease should be released because the job is done:
-    no queued URLs remain, or the page budget is exhausted
-    (lib.rs:153-197 finish + TotalPageBudget). Returns (domain, shard,
-    pages_crawled) rows; the caller releases leases, marks job_state
-    finished, and commits the domain to the seen Bloom (J6)."""
+    no queued URLs remain, the page budget is exhausted
+    (lib.rs:153-197 finish + TotalPageBudget), or the lease age passed
+    the hard job timeout + per-domain jitter (default.yaml:215-217 —
+    the force-kill for jobs the soft timeout couldn't drain; jitter is
+    hash-derived so a fleet of stuck jobs doesn't retire in lockstep).
+    Returns (domain, shard, pages_crawled) rows; the caller releases
+    leases, marks job_state finished, and commits the domain to the
+    seen Bloom (J6)."""
     queued_counts = (
         frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
         .groupBy("domain")
         .agg(F.count("*").alias("n_queued"))
     )
-    leased = leases.select("domain", "shard").join(
+    leased = leases.select("domain", "shard", "lease_epoch").join(
         job_state_updated.select("domain", "pages_crawled"), "domain", "left"
     )
+    is_done = (F.col("n_queued") == 0) | (
+        F.coalesce("pages_crawled", F.lit(0)) >= cfg.page_budget
+    )
+    hard = cfg.job_hard_timeout_epochs
+    if hard is not None:
+        jitter = F.pmod(
+            F.xxhash64("domain"), F.lit(cfg.job_hard_timeout_jitter_epochs + 1)
+        )
+        is_done = is_done | (F.lit(epoch) - F.col("lease_epoch") >= F.lit(hard) + jitter)
     done = (
         leased.join(queued_counts, "domain", "left")
         .withColumn("n_queued", F.coalesce("n_queued", F.lit(0)))
-        .filter(
-            (F.col("n_queued") == 0)
-            | (F.coalesce("pages_crawled", F.lit(0)) >= cfg.page_budget)
-        )
+        .filter(is_done)
     )
     return done.select("domain", "shard", F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"))

@@ -86,6 +86,29 @@ def queue_throughput(queue_m: DataFrame) -> DataFrame:
     return queue_m.groupBy("epoch").pivot("queue").agg(F.first("n"))
 
 
+def stage_latency(db_m: DataFrame) -> DataFrame:
+    """Which stage regressed? — the Grafana queue-op latency panel
+    analog (crusty.json:1517-1543 over the reference's per-DB-op
+    took_ms/since_last_ms columns, types.rs:142-154): mean and max ms
+    per pipeline stage across epochs, slowest stage first."""
+    stages = ["dequeue_ms", "fetch_ms", "expand_ms", "finish_ms"]
+    stacked = None
+    for s in stages:
+        one = db_m.select(
+            F.lit(s.removesuffix("_ms")).alias("stage"), F.col(s).alias("ms")
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    return (
+        stacked.groupBy("stage")
+        .agg(
+            F.round(F.avg("ms"), 1).alias("avg_ms"),
+            F.max("ms").alias("max_ms"),
+            F.count("*").alias("n_epochs"),
+        )
+        .orderBy(F.desc("avg_ms"))
+    )
+
+
 def domain_topk_latest(topk_m: DataFrame) -> DataFrame:
     """Grafana domain-topk panel analog (crusty.json:1008:
     ``argMax(hits, created_at)``) over the persisted per-consume-epoch

@@ -76,6 +76,12 @@ def get_spark(
         # x 32 tasks stays ~2 GB total and pipelines JVM->Python
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("CRUSTY_SPARK_DRIVER_MEM", "24g"))
+        # an iterative driver (epoch loop) churns localCheckpoint blocks
+        # and shuffle files that the ContextCleaner only reclaims after a
+        # JVM GC; the 30min default lets a long session accumulate to
+        # heap-thrash (measured: later crawls 6x slower). Collect every
+        # minute instead — cheap, bounded accumulation.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -34,6 +34,7 @@ from .urls import (
     py_addr_key_of,  # noqa: F401  (re-exported for tests)
     py_addr_key_policy,
     py_host_of,
+    py_ip_blacklisted,
     py_shard_of,
     py_strip_www,
     py_tld_of,
@@ -121,6 +122,12 @@ class SimCrawler:
         ak = py_addr_key_policy(domain, self.cfg.addr_ipv6_policy)
         if ak is None:  # address policy resolved nothing: drop (types.rs:57-60)
             return
+        # resolver net blacklist (default.yaml:246-247): drop domains
+        # whose synthesized v4 identity is blacklisted
+        if self.cfg.net_v4_blacklist and py_ip_blacklisted(
+            domain, self.cfg.net_v4_blacklist
+        ):
+            return
         self.tasks[key] = SimTask(
             url=url,
             url_hash=uh,
@@ -194,6 +201,12 @@ class SimCrawler:
             j.last_refill_epoch = epoch
             remaining = max(0, cfg.page_budget - j.pages_crawled)
             allow[dom] = min(int(math.floor(j.tokens)), remaining)
+            # job soft timeout (default.yaml:212-214): drain, don't start
+            if (
+                cfg.job_soft_timeout_epochs is not None
+                and epoch - le >= cfg.job_soft_timeout_epochs
+            ):
+                allow[dom] = 0
 
         # fetch-task selection: (depth, url_hash) per domain
         per_domain: dict[str, list[SimTask]] = {}
@@ -274,11 +287,18 @@ class SimCrawler:
                 ]
             )
 
-        # discovery enqueue: minus known frontier domains, minus seen
+        # discovery enqueue: minus known frontier domains, minus seen.
+        # Identity-time drops (no address under the policy, blacklisted
+        # net) happen BEFORE the discovered count, mirroring the engine
+        # where identity_for_urls filters ahead of disc_id.count()
         frontier_domains = {t.domain for t in self.tasks.values()}
         n_disc = 0
         for e in external_cands:
             if e in frontier_domains or e in self.seen:
+                continue
+            if py_addr_key_policy(e, cfg.addr_ipv6_policy) is None:
+                continue
+            if cfg.net_v4_blacklist and py_ip_blacklisted(e, cfg.net_v4_blacklist):
                 continue
             frontier_domains.add(e)
             self._enqueue(f"http://{e}/", e, 0)
@@ -290,15 +310,31 @@ class SimCrawler:
             if t.state == "queued" and not t.blocked:
                 queued_count[t.domain] = queued_count.get(t.domain, 0) + 1
         done_domains = []
+        hard = cfg.job_hard_timeout_epochs
         for ak, (dom, le, ttl) in list(self.leases.items()):
             j = self.jobs.get(dom)
             pages = j.pages_crawled if j else 0
-            if queued_count.get(dom, 0) == 0 or pages >= cfg.page_budget:
+            # job hard timeout + deterministic per-domain jitter
+            # (default.yaml:215-217), mirroring frontier.finish_domains
+            timed_out = hard is not None and epoch - le >= hard + (
+                spark_xxhash64_str(dom) % (cfg.job_hard_timeout_jitter_epochs + 1)
+            )
+            if queued_count.get(dom, 0) == 0 or pages >= cfg.page_budget or timed_out:
                 done_domains.append(dom)
                 del self.leases[ak]
                 if j:
                     j.finished = True
                 self.seen.add(dom)
+        # archive analog (redis-queue lib.rs:162-169 deletes a finished
+        # job's bucket): finished domains' tasks leave the hot frontier;
+        # queued_after below therefore tracks ACTIVE domains only
+        if done_domains:
+            done_set_tasks = set(done_domains)
+            self.tasks = {
+                key: t for key, t in self.tasks.items() if t.domain not in done_set_tasks
+            }
+            for dom in done_domains:
+                queued_count.pop(dom, None)
         if done_domains:
             # decay prior hit state to this epoch, then add fresh counts
             for key in list(self.hits):
@@ -316,6 +352,20 @@ class SimCrawler:
                 for tld in (py_tld_of(dom), ""):
                     k = (tld, dom)
                     self.hits[k] = self.hits.get(k, 0.0) + c
+            # state bound, mirroring topk.add_hits exactly: drop
+            # hits < eps, keep rank <= k*headroom per tld by
+            # (hits desc, domain asc)
+            keep = cfg.topk_k * cfg.topk_headroom
+            by_tld: dict[str, list] = {}
+            for (tld, dom), h in self.hits.items():
+                if h >= cfg.topk_prune_eps:
+                    by_tld.setdefault(tld, []).append((-h, dom))
+            pruned: dict[tuple[str, str], float] = {}
+            for tld, items in by_tld.items():
+                items.sort()
+                for neg_h, dom in items[:keep]:
+                    pruned[(tld, dom)] = -neg_h
+            self.hits = pruned
 
         self.epoch = epoch
         fetched_urls = {t.url for t in fetched}

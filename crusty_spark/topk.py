@@ -35,11 +35,35 @@ def empty_hits(spark: SparkSession) -> DataFrame:
 
 
 def add_hits(
-    state: DataFrame, new_counts: DataFrame, epoch: int, decay: float
+    state: DataFrame,
+    new_counts: DataFrame,
+    epoch: int,
+    decay: float,
+    k: int | None = None,
+    headroom: int = 250,
+    eps: float | None = 1e-9,
 ) -> DataFrame:
     """state + new (tld, domain, hits) counts for `epoch`, decaying the
     prior state by decay^(epoch - state.epoch). Also folds every count
-    into the global "" bucket (redis-calc/src/lib.rs:42-45)."""
+    into the global "" bucket (redis-calc/src/lib.rs:42-45).
+
+    State bound (the reference's analog is a FIXED-WIDTH sketch: k=100
+    over width 25,000 slots, redis-calc/src/lib.rs:59-66 +
+    conf/default.yaml:172-178 — rows can never exceed the width): when
+    ``k`` is given, the merged state keeps only rank <= k*headroom per
+    tld (and drops hits < eps), so `domain_hits` is bounded by
+    n_tlds x k x headroom rows instead of growing with every domain the
+    crawl ever discovered (reference plans for 25M+). The default
+    headroom 250 mirrors the reference's width/k ratio.
+
+    Approximation bound, like the sketch's: a pruned domain forfeits
+    its accumulated decayed count, which was <= the rank-(k*headroom)
+    hits at prune time; for the pruning to perturb the top-k list that
+    domain must later out-accumulate the rank-k survivor from zero,
+    i.e. the error per domain is bounded by hits_at_prune * decay^t —
+    negligible for headroom >> 1 exactly as sketch eviction error is.
+    The per-merge ranking window runs over the already-bounded state
+    (<= k*headroom rows per tld partition), not the whole crawl."""
     with_global = new_counts.select("tld", "domain", "hits").unionByName(
         new_counts.select(F.lit("").alias("tld"), "domain", "hits")
     )
@@ -55,6 +79,15 @@ def add_hits(
         .agg(F.sum("hits").alias("hits"))
         .withColumn("epoch", F.lit(epoch).cast("int"))
     )
+    if eps is not None:
+        merged = merged.filter(F.col("hits") >= eps)
+    if k is not None:
+        w = Window.partitionBy("tld").orderBy(F.desc("hits"), F.asc("domain"))
+        merged = (
+            merged.withColumn("prune_rk", F.row_number().over(w))
+            .filter(F.col("prune_rk") <= k * headroom)
+            .drop("prune_rk")
+        )
     return merged
 
 

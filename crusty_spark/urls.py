@@ -165,6 +165,42 @@ def shard_of_col(addr_key: Column, shard_total: int = DEFAULT_SHARD_TOTAL) -> Co
     return F.pmod(F.crc32(addr_key.cast("binary")), F.lit(shard_total)).cast("int")
 
 
+# --- net_v4_blacklist: resolver-level address filter ------------------
+#
+# The reference drops domains whose resolved address falls inside a
+# configured net blacklist (reserved v4 nets; conf/default.yaml:246-247,
+# types.rs:57-60, README.md:78). The sandbox DNS stand-in resolves a
+# domain to synth_ip32_of(domain), so the filter is a pure column
+# predicate on that v4 identity.
+
+
+def parse_cidr(net: str) -> tuple[int, int]:
+    """'10.0.0.0/8' -> (base_as_u32, prefix_bits). Validates octets."""
+    addr, bits_s = net.split("/")
+    bits = int(bits_s)
+    if not 0 <= bits <= 32:
+        raise ValueError(f"bad prefix length in {net!r}")
+    octets = [int(o) for o in addr.split(".")]
+    if len(octets) != 4 or any(not 0 <= o <= 255 for o in octets):
+        raise ValueError(f"bad IPv4 address in {net!r}")
+    base = (octets[0] << 24) | (octets[1] << 16) | (octets[2] << 8) | octets[3]
+    return base, bits
+
+
+def ip_blacklisted_col(domain: Column, nets: tuple[str, ...]) -> Column:
+    """True when the domain's synthesized v4 address falls inside any of
+    the CIDR nets. A /0 net matches everything; an empty list nothing."""
+    ip = synth_ip32_of(domain)
+    cond = F.lit(False)
+    for net in nets:
+        base, bits = parse_cidr(net)
+        if bits == 0:
+            return F.lit(True)
+        shift = 32 - bits
+        cond = cond | (F.shiftrightunsigned(ip, shift) == F.lit(base >> shift))
+    return cond
+
+
 def with_frontier_identity(
     df,
     url_col: str = "url",
@@ -329,3 +365,16 @@ def py_addr_key_policy(domain: str, policy: str = "v4_single") -> str | None:
 
 def py_shard_of(addr_key: str, shard_total: int = DEFAULT_SHARD_TOTAL) -> int:
     return crc32_str(addr_key) % shard_total
+
+
+def py_ip_blacklisted(domain: str, nets: tuple[str, ...]) -> bool:
+    """Scalar twin of ip_blacklisted_col."""
+    ip = py_synth_ip32(domain)
+    for net in nets:
+        base, bits = parse_cidr(net)
+        if bits == 0:
+            return True
+        shift = 32 - bits
+        if (ip >> shift) == (base >> shift):
+            return True
+    return False

@@ -189,6 +189,142 @@ def test_topk_matches_simulator(crawl, sim):
         assert abs(got[k] - want[k]) < 1e-9, k
 
 
+def test_equality_with_timeouts_and_blacklist(spark, tmp_path):
+    """Job soft/hard timeouts (default.yaml:212-217) and the
+    net_v4_blacklist resolver filter (default.yaml:246-247) must keep
+    engine/simulator exact equality under a config that exercises both
+    (small timeouts bite mid-crawl; the /2 net blacklists ~25% of
+    synthesized addresses)."""
+    cfgt = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=20, max_depth=4, page_budget=50,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+        job_soft_timeout_epochs=2, job_hard_timeout_epochs=3,
+        job_hard_timeout_jitter_epochs=2,
+        net_v4_blacklist=("64.0.0.0/2", "10.0.0.0/8"),
+    )
+    seeds = seed_urls(12)
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_to"), cfg=cfgt)
+    c.init_empty()
+    c.seed(seeds)
+    stats = c.run(5, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfgt)
+    s.seed(seeds)
+    sim_stats = s.run(5)
+    for got, want in zip(stats, sim_stats):
+        assert (
+            got.dequeued, got.fetched, got.discovered_domains,
+            got.finished, got.queued_after,
+        ) == (
+            want["dequeued"], want["fetched"], want["discovered"],
+            want["finished"], want["queued_after"],
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
+    engine_urls = {r.url for r in c.fetched_urls().collect()}
+    assert engine_urls == set().union(*s.fetched_log)
+
+
+def test_hard_timeout_drains_endless_domain(spark, tmp_path):
+    """A domain whose pages keep yielding internal links is bounded by
+    the job timeouts, not just page_budget: soft stops new selections,
+    hard force-finishes with queued work remaining."""
+    cfgd = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=4,
+        lease_ttl_epochs=50, max_depth=25, page_budget=1000,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        job_soft_timeout_epochs=2, job_hard_timeout_epochs=4,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_drain"), cfg=cfgd)
+    c.init_empty()
+    c.seed(["http://endless0.com/"])
+    c.run(8, stop_when_idle=False)
+    js = {r.domain: r for r in c.state["job_state"].collect()}
+    assert js["endless0.com"].finished
+    # far below the 1000-page budget: the timeout retired it
+    assert js["endless0.com"].pages_crawled <= cfgd.domain_concurrency * (
+        cfgd.job_hard_timeout_epochs + 1
+    )
+
+
+def test_finished_domains_leave_hot_frontier(spark, tmp_path):
+    """Archive semantics (redis-queue lib.rs:162-169 bucket deletion):
+    after a domain finishes, none of its rows remain in the hot
+    frontier — per-epoch scan size tracks ACTIVE domains, not crawl
+    age — while fetched_urls() still sees the archived history."""
+    cfga = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=3,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_arch"), cfg=cfga)
+    c.init_empty()
+    c.seed(seed_urls(10))
+    c.run(4, stop_when_idle=False)
+    finished = {r.domain for r in c.seen_domains_exact().collect()}
+    assert finished  # the tight budget must finish some domains
+    hot = {r.domain for r in c.state["frontier"].select("domain").distinct().collect()}
+    assert not (hot & finished), "finished domains still in hot frontier"
+    archived = {
+        r.domain for r in c.state["frontier_archive"].select("domain").distinct().collect()
+    }
+    assert finished <= archived
+    assert c.fetched_urls().count() > 0
+
+
+def test_epoch_driver_action_budget(spark, tmp_path):
+    """The epoch contract: exactly 4 driver count/collect actions
+    (dequeue, fetch, discovery gate, fused finish+queue-depth) — the
+    stage timers. Guards against count sprawl on the hot path."""
+    cfgb = CrawlConfig(
+        shard_total=4, dequeue_limit=50, domain_concurrency=2,
+        lease_ttl_epochs=5, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_act"), cfg=cfgb)
+    c.init_empty()
+    c.seed(seed_urls(6))
+    c.run(2, stop_when_idle=False)
+    assert c.last_epoch_actions == 4
+
+
+def test_topk_state_bounded_with_small_headroom(spark, tmp_path):
+    """domain_hits must stay bounded by n_tlds x k x headroom on a crawl
+    that finishes many domains (the reference bounds this by sketch
+    construction, width=k*250) — while topk results still equal the
+    simulator's under the identical pruning rule."""
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=4, page_budget=2,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+        topk_k=2, topk_headroom=2,
+    )
+    seeds = seed_urls(12)
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_topk"), cfg=cfg)
+    c.init_empty()
+    c.seed(seeds)
+    c.run(5, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfg)
+    s.seed(seeds)
+    s.run(5)
+    hits_rows = c.state["domain_hits"].collect()
+    assert len(hits_rows) > 0
+    # bound: <= k*headroom rows per tld (incl. the "" global bucket)
+    from collections import Counter
+
+    per_tld = Counter(r.tld for r in hits_rows)
+    assert all(n <= cfg.topk_k * cfg.topk_headroom for n in per_tld.values()), per_tld
+    # exact state equality with the simulator under the same pruning
+    got = {(r.tld, r.domain): r.hits for r in hits_rows}
+    assert set(got) == set(s.hits)
+    for key in got:
+        assert abs(got[key] - s.hits[key]) < 1e-9, key
+
+
 def test_snapshot_pruning_keeps_resumability(spark, tmp_path):
     """prune_snapshots (expire_snapshots analog): old epoch dirs are
     removed, the newest `keep` remain, and a fresh process still resumes

@@ -65,6 +65,27 @@ def test_metrics_db_timings(spark, crawled):
     assert all(r.took_ms > 0 for r in db)
 
 
+def test_metrics_db_per_stage_timings(spark, crawled):
+    """Per-stage took_ms + since_last_ms (types.rs:142-154 parity): the
+    dashboard's 'which stage regressed' question is answerable —
+    stage_latency ranks the four pipeline stages, and the stage times
+    are consistent with the epoch total."""
+    c, stats, ckpt = crawled
+    db = M.read_metrics(spark, ckpt, "metrics_db")
+    rows = db.collect()
+    for r in rows:
+        for col in ("dequeue_ms", "fetch_ms", "expand_ms", "finish_ms", "since_last_ms"):
+            assert getattr(r, col) >= 0, col
+        assert r.dequeue_ms + r.fetch_ms + r.expand_ms + r.finish_ms <= r.took_ms
+    # epochs after the first measure a positive inter-epoch gap
+    assert all(r.since_last_ms > 0 for r in rows if r.epoch > 1)
+    ranked = M.stage_latency(db).collect()
+    assert [r.stage for r in ranked] and len(ranked) == 4
+    assert all(r.n_epochs == len(rows) for r in ranked)
+    avgs = [r.avg_ms for r in ranked]
+    assert avgs == sorted(avgs, reverse=True)  # slowest stage first
+
+
 def test_streaming_windowed_rates(spark):
     out = run_metrics_stream(spark, seconds=15.0, rows_per_second=400)
     rows = out.collect()

@@ -93,6 +93,54 @@ def test_robots_join_not_force_broadcast(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_loaded_snapshot_dequeue_is_exchange_free(spark, tmp_path):
+    """The loop-vs-bench layout contract: after a checkpoint reload the
+    frontier is hash-partitioned by domain (Crawler._load_frontier), so
+    the dequeue's domain-level aggregation runs WITHOUT re-exchanging
+    the big side — the only big exchange in the epoch is dequeue's one
+    explicit repartition of the REDUCED per-domain set on addr_key.
+    Verified on the executed plan (what actually ran), with a raw
+    un-partitioned read as the counter-case."""
+    from crusty_spark.crawler import Crawler
+    from crusty_spark.fixtures import images_df, seed_urls
+    from crusty_spark.frontier import CrawlConfig, dequeue, empty_job_state, empty_leases
+
+    cfg = CrawlConfig(shard_total=4, dequeue_limit=100, max_depth=3, page_budget=5,
+                      seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+                      frontier_colocate_min_rows=0)  # force the big-table layout
+    images = images_df(spark, 32).cache()
+    c = Crawler(spark, images, 32, str(tmp_path / "ckpt_plan"), cfg=cfg)
+    c.init_empty()
+    c.seed(seed_urls(20))
+    c.run(1, stop_when_idle=False)  # checkpoints + reloads via _load_frontier
+
+    import re
+
+    # the (shard, addr_key, domain) groupBy's would-be shuffle of the
+    # full frontier — NOT the later per-shard window exchange, which is
+    # legitimately tiny (one row per addr_key)
+    grouping_exchange = re.compile(
+        r"Exchange hashpartitioning\(shard#\d+, addr_key#\d+, domain#\d+"
+    )
+
+    df = dequeue(c.state["frontier"], empty_leases(spark), empty_job_state(spark), 2, cfg)
+    df.collect()
+    ran = df._jdf.queryExecution().executedPlan().toString()
+    assert not grouping_exchange.search(ran), "big-side groupBy re-exchanged a loaded snapshot"
+
+    # counter-case: the same dequeue over the RAW parquet snapshot does
+    # need that exchange — proving the assertion above is meaningful
+    import glob
+    import os
+
+    snap = sorted(glob.glob(str(tmp_path / "ckpt_plan" / "epoch=*")))[-1]
+    raw = spark.read.schema(c.state["frontier"].schema).parquet(os.path.join(snap, "frontier"))
+    df2 = dequeue(raw, empty_leases(spark), empty_job_state(spark), 2, cfg)
+    df2.collect()
+    ran2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert grouping_exchange.search(ran2)
+
+
 def test_dequeue_has_no_python_stage(spark):
     """The scheduler hot path (dequeue selection) must stay JVM-side."""
     from crusty_spark.frontier import CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases

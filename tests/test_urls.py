@@ -3,6 +3,7 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -109,6 +110,48 @@ def test_canonicalize_matches_urljoin(host, basepath, href):
     if want.startswith(("http://", "https://")) and "/" not in want.split("://", 1)[1]:
         want += "/"
     assert got == want
+
+
+def test_net_v4_blacklist_parity(spark):
+    """net_v4_blacklist (default.yaml:246-247, types.rs:57-60): the JVM
+    predicate must equal the scalar twin on every domain, and known
+    addresses must classify correctly."""
+    from pyspark.sql import functions as F
+
+    from crusty_spark.urls import (
+        ip_blacklisted_col,
+        parse_cidr,
+        py_ip_blacklisted,
+        py_synth_ip32,
+    )
+
+    nets = ("64.0.0.0/2", "10.0.0.0/8", "192.168.0.0/16")
+    domains = [f"bl{i}.test{i % 9}.org" for i in range(300)]
+    df = spark.createDataFrame([(d,) for d in domains], ["domain"])
+    got = {
+        r.domain: r.bl
+        for r in df.select(
+            "domain", ip_blacklisted_col(F.col("domain"), nets).alias("bl")
+        ).collect()
+    }
+    hits = 0
+    for d in domains:
+        want = py_ip_blacklisted(d, nets)
+        assert got[d] == want, d
+        # twin self-consistency against the raw synthesized address
+        ip = py_synth_ip32(d)
+        manual = any(
+            (ip >> (32 - b)) == (base >> (32 - b))
+            for base, b in map(parse_cidr, nets)
+        )
+        assert want == manual, d
+        hits += want
+    assert 0 < hits < len(domains)  # the /2 net makes ~25% match
+    assert parse_cidr("10.0.0.0/8") == (10 << 24, 8)
+    with pytest.raises(ValueError):
+        parse_cidr("300.0.0.0/8")
+    with pytest.raises(ValueError):
+        parse_cidr("1.2.3.4/40")
 
 
 def test_addr_policy_parity_and_invariants(spark):
