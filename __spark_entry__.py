@@ -389,6 +389,31 @@ def q_topk_sld(spark, sf_dir):
     )
 
 
+def q_net_blacklist(spark, sf_dir):
+    """F14 net_v4_blacklist predicate (conf/default.yaml:246-247,
+    types.rs:57-60): CIDR membership via shift-compare over a
+    hash-derived u32 address — the same parse_cidr/shift logic the
+    engine's ip_blacklisted_col uses, re-derived with the shared
+    md5-based h64 so DuckDB computes identical addresses (the engine's
+    xxhash64 kernel is covered by unit + sim parity)."""
+    from crusty_spark.urls import parse_cidr
+
+    f = _frontier_df(spark, sf_dir)
+    ip = F.pmod(_h64(F.col("domain")), F.lit(1 << 32))
+    cond = F.lit(False)
+    for net in ("64.0.0.0/2", "10.0.0.0/8", "192.168.0.0/16"):
+        base, bits = parse_cidr(net)
+        cond = cond | (F.shiftrightunsigned(ip, 32 - bits) == F.lit(base >> (32 - bits)))
+    return (
+        f.select("tld", cond.alias("bl"))
+        .groupBy("tld")
+        .agg(
+            F.sum(F.when(F.col("bl"), 1).otherwise(0)).alias("n_blacklisted"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
 def q_set_union_distinct(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
@@ -681,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_neardup": q_phash_neardup,
         "q_topk_sld": q_topk_sld,
         "q_addr_sort": q_addr_sort,
+        "q_net_blacklist": q_net_blacklist,
         "q_set_union_distinct": q_set_union_distinct,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
@@ -810,6 +836,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT event_type, max(value) AS max_value FROM events GROUP BY 1) m
               ON e.event_type = m.event_type AND e.value = m.max_value
             GROUP BY e.event_type, m.max_value""",
+        "q_net_blacklist": f"""
+            -- CIDR membership of h64(domain)-derived u32 addresses:
+            -- 64.0.0.0/2 -> ip>>30 == 1; 10.0.0.0/8 -> ip>>24 == 10;
+            -- 192.168.0.0/16 -> ip>>16 == 49320
+            SELECT tld,
+                   cast(sum(CASE WHEN (ip >> 30) = 1 OR (ip >> 24) = 10
+                                      OR (ip >> 16) = 49320 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_blacklisted,
+                   count(*) AS n_total
+            FROM (SELECT tld, {h.format(x='domain')} % 4294967296 AS ip
+                  FROM ({_FRONTIER_SQL}))
+            GROUP BY tld""",
         "q_set_union_distinct": """
             SELECT count(*) AS n_distinct FROM (
               SELECT c_custkey AS k FROM customer UNION SELECT s_suppkey FROM supplier)""",

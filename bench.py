@@ -190,6 +190,15 @@ def main() -> None:
     spark = _get_spark(cpus, "bench_headline")
     per_q = {}
     try:
+        if os.environ.get("BENCH_WARMUP_HEADLINE", "1") != "0":
+            # one pass at the smallest SF first: compiles the codegen /
+            # JIT paths of every query so the timed loop measures
+            # steady-state throughput, not first-call compilation (the
+            # heaviest query otherwise absorbs the whole JVM warmup)
+            for name in HEADLINE:
+                queries[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
         for name in HEADLINE:
             t0 = time.monotonic()
             df = queries[name](spark, sf_dir)

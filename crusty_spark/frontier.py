@@ -102,6 +102,31 @@ class CrawlConfig:
         }
 
 
+def reference_config(**overrides) -> CrawlConfig:
+    """A CrawlConfig carrying the REFERENCE's defaults where they differ
+    from this engine's legacy-stable ones — for users porting a crusty
+    config verbatim:
+
+    - ``addr_ipv6_policy='fallback'`` (conf/default.yaml:270; the
+      engine defaults to ``v4_single`` so existing addr_keys — and the
+      politeness bucketing derived from them — stay stable for earlier
+      adopters)
+    - job soft/hard timeouts on (default.yaml:212-217: 180 s soft,
+      300 s hard + 60 s jitter, mapped to epochs at the reference's
+      ~60 s batch cadence: 3 / 5 / 1)
+
+    Everything else already mirrors conf/default.yaml.
+    """
+    base: dict = dict(
+        addr_ipv6_policy="fallback",
+        job_soft_timeout_epochs=3,
+        job_hard_timeout_epochs=5,
+        job_hard_timeout_jitter_epochs=1,
+    )
+    base.update(overrides)
+    return CrawlConfig(**base)
+
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

@@ -58,6 +58,21 @@ def test_unknown_keys_rejected(tmp_path):
         load_config(str(tmp_path), {})
 
 
+def test_reference_config_defaults():
+    """reference_config(): the reference's own defaults (Fallback
+    address policy, job timeouts on) for users porting a crusty config
+    verbatim; overrides still apply on top."""
+    from crusty_spark.frontier import CrawlConfig, reference_config
+
+    rc = reference_config()
+    assert rc.addr_ipv6_policy == "fallback"
+    assert rc.job_soft_timeout_epochs == 3
+    assert rc.job_hard_timeout_epochs == 5
+    assert rc.job_hard_timeout_jitter_epochs == 1
+    assert rc.shard_total == CrawlConfig().shard_total  # rest unchanged
+    assert reference_config(page_budget=7).page_budget == 7
+
+
 def test_env_only_and_bool_coercion():
     cfg, seeds = load_config(None, {"APP_SECOND_LEVEL_ONLY": "true",
                                     "APP_TOPK_DECAY": "0.5"})
