@@ -455,6 +455,15 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"), bits=16)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering (connected components over the
+    MinHash-LSH pair list via iterative min-label propagation) — the
+    'keep one doc per duplicate group' step. Oracle: DuckDB recursive
+    CTE computing min reachable id per node over the same pairs."""
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return D.dedup_clusters(pairs)
+
+
 def q_embed_neardup(spark, sf_dir):
     """The raw fixture has no near-dups at 0.9 (max bucketed cos 0.40),
     which made this check vacuous (0 rows == 0 rows). Plant a scaled
@@ -651,6 +660,64 @@ def _clean_corpus_sql(h: str) -> str:
       FROM kept2 k WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)"""
 
 
+def _minhash_pairs_ctes(h: str) -> str:
+    """The MinHash-LSH pipeline as CTEs ending in `pairs(doc_a, doc_b)`
+    — shared by the q_dedup_clusters oracle."""
+    mh_cols = ", ".join(
+        "min({hh}) AS mh{i}".format(hh=h.format(x=f"shingle || ':{i}'"), i=i)
+        for i in range(8)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {hh} AS band_key FROM mh".format(
+            b=b,
+            hh=h.format(
+                x=f"concat(cast(mh{2 * b} AS varchar), '_', cast(mh{2 * b + 1} AS varchar))"
+            ),
+        )
+        for b in range(4)
+    )
+    return f""",
+      mh AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+      bands AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::double
+                       / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS j
+          FROM cand c JOIN s sa ON sa.doc_id = c.doc_a JOIN s sb ON sb.doc_id = c.doc_b)
+        WHERE j >= 0.3)"""
+
+
+def _dedup_clusters_sql(h: str, shingle_base: str) -> str:
+    """DuckDB twin of q_dedup_clusters: connected components as a
+    recursive CTE — walk(id, label) enumerates every label reachable
+    from id over the symmetric edge set (UNION dedups, so cycles
+    terminate at the fixpoint); min reachable label == the component's
+    min id, exactly what converged min-label propagation yields."""
+    return (
+        shingle_base
+        + _minhash_pairs_ctes(h)
+        + """,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges)
+      SELECT id AS doc_id, min(label) AS cluster_id FROM (
+        WITH RECURSIVE walk(id, label) AS (
+          SELECT id, id AS label FROM nodes
+          UNION
+          SELECT e.src AS id, w.label
+          FROM edges e JOIN walk w ON w.id = e.dst
+        ) SELECT id, label FROM walk)
+      GROUP BY id"""
+    )
+
+
 def _minhash_tail(h: str) -> str:
     """DuckDB SQL for the MinHash-LSH oracle, appended to the shingle
     CTE: 8 min-hashes, 4 bands of 2, candidate pairs, jaccard verify."""
@@ -716,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_embed_neardup": q_embed_neardup,
         "q_clean_corpus": q_clean_corpus,
         "q_cosine_topk": q_cosine_topk,
@@ -952,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": shingle_cte
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3",
         "q_minhash_lsh": shingle_base + _minhash_tail(h),
+        "q_dedup_clusters": _dedup_clusters_sql(h, shingle_base),
         "q_clean_corpus": _clean_corpus_sql(h),
         "q_simhash": f"""
             SELECT doc_id,

@@ -259,6 +259,57 @@ def minhash_lsh_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (doc_id,
+    cluster_id), cluster_id = the component's min doc_id (the canonical
+    representative). This is the transitive closure the pair list
+    alone doesn't give: A~B and B~C puts A,B,C in ONE cluster even
+    when (A,C) never surfaced as a candidate pair — the "keep one per
+    group" step of a dedup pipeline.
+
+    Algorithm: iterative min-label propagation (the Pregel/GraphX
+    connected-components recipe as plain DataFrame ops): every round
+    each node adopts the min label among itself and its neighbors;
+    converges in O(component diameter) rounds — near-dup components
+    are dense (clusters of mutually-similar docs), so the diameter is
+    tiny in practice. Each round is one hash-partitioned join + one
+    map-side-combinable min-aggregation over (nodes + edges) rows; the
+    per-round localCheckpoint truncates the otherwise-exponential
+    iterative lineage, and the driver-side convergence count is the
+    standard fixpoint check every iterative DataFrame algorithm needs
+    (one tiny action per round, not a collect of the data)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash: bit j of the signature is the sign of the vote
     sum_tokens(+1 if bit j of h64(token) else -1). Expressed as

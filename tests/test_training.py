@@ -65,6 +65,18 @@ def test_phash_cap_noop_below_bound(spark):
     assert capped == uncapped and len(capped) > 0
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    """A chain 1~2, 2~3, 3~4 (no direct 1~4 pair) must collapse into
+    ONE cluster labeled by the min id — the transitivity the raw pair
+    list doesn't give — and disjoint components stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_embedding_bucket_cap_bounds_candidates(spark):
     """300 identical embeddings land in ONE sign bucket — the exact
     correlated-corpus pile-up; the cap must bound the within-bucket
