@@ -99,6 +99,83 @@ def streaming_seen_filter(events: DataFrame, max_state: int = 100_000) -> DataFr
     )
 
 
+def streaming_token_bucket(
+    events: DataFrame, concurrency: int = 2, delay_s: float = 1.0
+) -> DataFrame:
+    """Custom stateful streaming operator: per-domain politeness token
+    bucket over a fetch-request stream — the in-stream analog of
+    ``frontier.allowance`` (reference per-domain politeness:
+    concurrency + crawl-delay, conf/default.yaml:199-207), for
+    deployments that admit fetches from a continuous request stream
+    instead of epoch batches. rate = concurrency/(1+delay) tokens/sec,
+    cap = concurrency; each request refills by rate*Δt(event time),
+    then is admitted iff a whole token is available (and spends it) —
+    rejected requests pass through flagged for re-queue, mirroring how
+    the reference defers rather than drops.
+
+    State per domain is two doubles; admission depends ONLY on the
+    event-time order of the domain's requests, never on micro-batch
+    boundaries — which is what makes the exact-equality test against
+    the scalar twin (:func:`py_token_bucket`) possible. The per-group
+    loop runs over one domain's requests in a batch (bounded by the
+    domain's request rate), not per-row Python over the stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap = float(concurrency)
+    rate = cap / (1.0 + delay_s)
+
+    def gate(key, pdfs, state: GroupState):
+        tokens, last = state.get if state.exists else (cap, float("-inf"))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "url_hash"], kind="mergesort")
+        admitted = []
+        for t in rows["ts"]:
+            ts = t.timestamp()
+            if last != float("-inf") and ts > last:
+                tokens = min(tokens + rate * (ts - last), cap)
+            last = max(last, ts)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                admitted.append(True)
+            else:
+                admitted.append(False)
+        state.update((tokens, last))
+        out = rows.assign(domain=key[0], admitted=admitted)
+        yield out[["domain", "url_hash", "ts", "admitted"]]
+
+    return events.groupBy("domain").applyInPandasWithState(
+        gate,
+        outputStructType="domain string, url_hash long, ts timestamp, admitted boolean",
+        stateStructType="tokens double, last_ts double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def py_token_bucket(
+    rows: list[tuple[float, int]], concurrency: int = 2, delay_s: float = 1.0
+) -> list[bool]:
+    """Scalar twin of streaming_token_bucket for ONE domain: rows =
+    [(ts_seconds, url_hash)] in arrival order; returns admitted flags
+    after sorting by (ts, url_hash) — batch-boundary-independent, so it
+    must match the streaming operator exactly."""
+    cap = float(concurrency)
+    rate = cap / (1.0 + delay_s)
+    tokens, last = cap, float("-inf")
+    flags: dict[tuple[float, int], bool] = {}
+    for ts, uh in sorted(rows):
+        if last != float("-inf") and ts > last:
+            tokens = min(tokens + rate * (ts - last), cap)
+        last = max(last, ts)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            flags[(ts, uh)] = True
+        else:
+            flags[(ts, uh)] = False
+    return [flags[(ts, uh)] for ts, uh in sorted(rows)]
+
+
 def run_metrics_stream(spark: SparkSession, seconds: float = 15.0, rows_per_second: int = 500) -> DataFrame:
     """NOTE: append mode emits a window only after the watermark passes
     its end AND a later trigger fires — budget `seconds` accordingly

@@ -97,6 +97,55 @@ def test_streaming_windowed_rates(spark):
     assert ok > err
 
 
+def test_streaming_token_bucket_matches_twin(spark):
+    """Stateful streaming politeness (applyInPandasWithState token
+    bucket): admission flags must EXACTLY equal the scalar twin replayed
+    over the same per-domain event sequence — admission depends on
+    event-time order only, never on micro-batch boundaries — and at
+    ~60 req/s/domain against a ~1 token/s bucket, most requests must be
+    deferred, not dropped (rows pass through flagged)."""
+    import time
+    import uuid
+
+    from crusty_spark.streaming import (
+        py_token_bucket,
+        streaming_token_bucket,
+        url_event_stream,
+    )
+
+    name = f"bucket_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_token_bucket(url_event_stream(spark, rows_per_second=500), concurrency=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 400:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 400
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append((r.ts.timestamp(), r.url_hash, r.admitted))
+    n_adm = n_rej = 0
+    for dom, evs in by_dom.items():
+        evs.sort()
+        want = py_token_bucket([(ts, uh) for ts, uh, _ in evs], concurrency=2)
+        got = [adm for _, _, adm in evs]
+        assert got == want, f"{dom}: streaming bucket diverged from twin"
+        n_adm += sum(got)
+        n_rej += len(got) - sum(got)
+    assert n_adm > 0 and n_rej > n_adm  # overload: most deferred
+
+
 def test_domain_topk_history_persisted(spark, crawled):
     """metrics_topk (types.rs:400-409, init.sql:65-71): one topk
     snapshot per consume epoch; domain_topk_latest == live topk at the
