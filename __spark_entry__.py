@@ -492,6 +492,15 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_centroids=16, query_mod=101, k=5)
 
 
+def q_ivf_kmeans(spark, sf_dir):
+    """IVF codebook training: 2 Lloyd iterations (broadcast struct-min
+    assignment + element-wise mean update) then the final (vec_id, cid)
+    inverted-list assignment. Oracle: the same two iterations unrolled
+    as DuckDB CTEs over embedding::DOUBLE[], means rounded to 6dp on
+    both sides."""
+    return S.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_centroids=16, n_iter=2)
+
+
 # ---- non-SQL-expressible (rows-only checks) ----
 
 
@@ -718,6 +727,44 @@ def _dedup_clusters_sql(h: str, shingle_base: str) -> str:
     )
 
 
+def _kmeans_sql(n_centroids: int = 16, n_iter: int = 2) -> str:
+    """DuckDB twin of q_ivf_kmeans: Lloyd iterations unrolled as CTEs —
+    assignment = per-vector argmin over (rounded sq-L2, cid), update =
+    per-cluster element-wise mean (rounded 6dp) with empty clusters
+    keeping their previous centroid."""
+
+    def assign(src_c: str, name: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_sum(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) ASC,
+                     c.cid ASC) AS rn
+            FROM e, {src_c} c) WHERE rn = 1)"""
+
+    def update(a: str, prev_c: str, name: str) -> str:
+        return f"""g_{name} AS (SELECT cid, list(v) AS vs FROM {a} GROUP BY cid),
+          m_{name} AS (SELECT cid,
+                 list_transform(range(1, len(vs[1]) + 1),
+                   i -> round(list_sum(list_transform(vs, u -> u[i])) / len(vs), 6)) AS cv
+               FROM g_{name}),
+          {name} AS (SELECT cid, cv FROM m_{name}
+                     UNION ALL
+                     SELECT cid, cv FROM {prev_c}
+                     WHERE cid NOT IN (SELECT cid FROM m_{name}))"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids})",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(assign(f"c{it - 1}", f"a{it}"))
+        ctes.append(update(f"a{it}", f"c{it - 1}", f"c{it}"))
+    ctes.append(assign(f"c{n_iter}", "af"))
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cid FROM af"
+
+
 def _minhash_tail(h: str) -> str:
     """DuckDB SQL for the MinHash-LSH oracle, appended to the shingle
     CTE: 8 min-hashes, 4 bands of 2, candidate pairs, jaccard verify."""
@@ -789,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
+        "q_ivf_kmeans": q_ivf_kmeans,
         "q_bloom_gate": q_bloom_gate,
         "q_crawl_epoch": q_crawl_epoch,
         "q_image_decode": q_image_decode,
@@ -1098,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "q_ivf_kmeans": _kmeans_sql(16, 2),
         "q_bloom_gate": """
             SELECT cast(c_custkey % 4 AS int) AS shard,
                    concat('site', cast(c_custkey AS varchar), '.com') AS domain

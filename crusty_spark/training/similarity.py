@@ -77,42 +77,107 @@ def sign_bucket(col, bits: int = 8):
     )
 
 
-def ivf_topk(
-    emb: DataFrame, n_centroids: int = 16, query_mod: int = 101, k: int = 5
-) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid
-    (deterministic codebook: the first `n_centroids` vectors by id —
-    a real deployment plugs in trained centroids, the plan shape is
-    identical), then search only the query's inverted list. The
-    centroid table broadcasts; the corpus shuffles once by centroid id.
-    """
-    e = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v) x (cid, cv) -> (vec_id, v, cid): nearest centroid by
+    squared L2 (rounded to 6dp, cid tie-break — the cross-engine-stable
+    ordering). Argmin as ONE aggregation (min over a (dist, cid, v)
+    struct — v rides along, never compared: (dist, cid) is unique per
+    group), instead of row_number over the corpus x centroids cross:
+    no per-vector sort, map-side combinable, k-times less post-cross
+    data. The centroid table broadcasts."""
     dist = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
-    # argmin centroid as ONE aggregation (min over a (dist, cid, v)
-    # struct — v rides along, never compared: (dist, cid) is unique per
-    # group), instead of row_number over the corpus x centroids cross:
-    # no per-vector sort, map-side combinable, 16x less post-cross data
     best = F.min(
         F.struct(
             F.round(dist, 6).alias("d"), F.col("cid").alias("cid"), F.col("v").alias("v")
         )
     ).alias("best")
-    assigned = (
+    return (
         e.join(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(best)
         .select("vec_id", F.col("best.v").alias("v"), F.col("best.cid").alias("cid"))
     )
+
+
+def _as_double_vecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 2
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops -> (cid, cv) trained
+    centroids — the IVF codebook trainer (the iterative-algorithm
+    companion to ivf_topk's fixed codebook).
+
+    Deterministic init: the first `n_centroids` vectors by id. Each
+    iteration is (a) the broadcast struct-min assignment above and
+    (b) the centroid update: per-cluster element-wise mean via
+    posexplode -> (cid, pos) avg -> ordered collect — two map-side-
+    combinable aggregations, no window, corpus scanned once per
+    iteration. Means round to 6dp so the DuckDB twin (different float
+    accumulation order) lands on identical codebooks. Clusters that
+    lose all members keep their previous centroid. The per-iteration
+    localCheckpoint truncates the iterative lineage (the centroid
+    table is n_centroids rows — the checkpoint is cheap; the corpus is
+    never checkpointed)."""
+    e = _as_double_vecs(emb)
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iter):
+        assigned = _assign_nearest(e, cents)
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        new = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("m").alias("m")))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+        cents = new.unionByName(
+            cents.join(new, "cid", "left_anti")
+        ).localCheckpoint()
+    return cents
+
+
+def kmeans_assign(
+    emb: DataFrame, n_centroids: int = 16, n_iter: int = 2
+) -> DataFrame:
+    """Final (vec_id, cid) assignment under kmeans_centroids' trained
+    codebook — the IVF build output a real deployment would persist as
+    the inverted-list index."""
+    cents = kmeans_centroids(emb, n_centroids, n_iter)
+    return _assign_nearest(_as_double_vecs(emb), cents).select("vec_id", "cid")
+
+
+def ivf_topk(
+    emb: DataFrame, n_centroids: int = 16, query_mod: int = 101, k: int = 5
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (deterministic codebook: the first `n_centroids` vectors by id —
+    plug in kmeans_centroids for a trained codebook, the plan shape is
+    identical), then search only the query's inverted list. The
+    centroid table broadcasts; the corpus shuffles once by centroid id.
+    """
+    e = _as_double_vecs(emb)
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = _assign_nearest(e, cents)
     q = assigned.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
