@@ -163,7 +163,7 @@ class Crawler:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.ckpt, f"epoch={epoch:06d}")
 
-    def checkpoint(self) -> None:
+    def checkpoint(self, unchanged: set[str] = frozenset()) -> None:
         d = self._epoch_dir(self.epoch)
         if self.metrics_rows:
             # metrics_db analog (init.sql:7-16): per-epoch driver timings
@@ -173,14 +173,26 @@ class Crawler:
                 self.spark.createDataFrame([self.metrics_rows[-1]]),
                 self.epoch,
             )
+        prev = self._epoch_dir(self.epoch - 1)
         for name in self.TABLES:
+            # tables the epoch provably didn't touch (no finishes -> no
+            # bloom/hits/archive delta; no discoveries -> no robots
+            # delta) hardlink the previous snapshot's immutable parquet
+            # files instead of re-running a Spark write — the Iceberg
+            # analog is simply not committing to an unchanged table
+            if name in unchanged and os.path.isdir(os.path.join(prev, name)):
+                self._link_table(os.path.join(prev, name), os.path.join(d, name))
+                continue
             w = self.state[name].write.mode("overwrite")
             if name == "frontier":
                 # shard-partitioned layout: epoch reads touching a shard
                 # subset prune at the file level (Iceberg bucket() analog)
                 w = w.partitionBy("shard")
             w.parquet(os.path.join(d, name))
-        self.robots.write.mode("overwrite").parquet(os.path.join(d, "robots"))
+        if "robots" in unchanged and os.path.isdir(os.path.join(prev, "robots")):
+            self._link_table(os.path.join(prev, "robots"), os.path.join(d, "robots"))
+        else:
+            self.robots.write.mode("overwrite").parquet(os.path.join(d, "robots"))
         manifest = {"epoch": self.epoch, "tables": list(self.TABLES)}
         tmp = os.path.join(self.ckpt, "_manifest.tmp")
         with open(tmp, "w") as f:
@@ -193,6 +205,25 @@ class Crawler:
             )
         self.state["frontier"] = self._load_frontier(self.state["frontier"])
         self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
+
+    @staticmethod
+    def _link_table(src: str, dst: str) -> None:
+        """Snapshot an unchanged table by hardlinking its immutable
+        parquet files (falls back to copy on filesystems without link
+        support). Keeps every epoch dir a complete standalone snapshot
+        — prune_snapshots/rmtree semantics are unaffected."""
+        import shutil
+
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+
+        def _link_or_copy(s, t, **kw):
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+        shutil.copytree(src, dst, copy_function=_link_or_copy)
 
     def _load_frontier(self, raw: DataFrame) -> DataFrame:
         """Give a loaded frontier snapshot the layout every epoch branch
@@ -524,7 +555,13 @@ class Crawler:
                 "since_last_ms": since_last_ms,
             }
         )
-        self.checkpoint()
+        # tables this epoch provably didn't touch snapshot by hardlink
+        unchanged: set[str] = set()
+        if n_finished == 0:
+            unchanged |= {"seen_bloom", "domain_hits", "frontier_archive"}
+        if n_disc == 0:
+            unchanged.add("robots")
+        self.checkpoint(unchanged)
         self._last_epoch_end = time.monotonic()
 
         stats = EpochStats(
