@@ -60,14 +60,18 @@ class Crawler:
     module-level pure functions (frontier.py / fetch.py / bloom.py /
     topk.py); this class only sequences them and persists snapshots."""
 
-    # frontier_archive: cold storage for finished domains' task rows
-    # (the reference DELETES a finished job's queue bucket,
-    # redis-queue/src/lib.rs:162-169, and keeps only the Bloom; we keep
-    # the rows queryable but OUT of the hot table, so per-epoch scans
-    # and the F4 enqueue anti-join track ACTIVE domains, not crawl age)
+    # *_archive: cold storage for finished domains' rows (the reference
+    # DELETES a finished job's queue bucket AND its job state,
+    # redis-queue/src/lib.rs:162-169, keeping only the Bloom; we keep
+    # the rows queryable but OUT of the hot tables, so per-epoch scans,
+    # the F4 enqueue anti-join and the job_state merge all track ACTIVE
+    # domains, not crawl age. Correctness needs no finished rows on the
+    # hot path: archived domains have no queued tasks, and rediscovery
+    # is gated by the seen Bloom — false negatives are impossible, so a
+    # finished domain can never re-enter the frontier.)
     TABLES = (
         "frontier", "frontier_archive", "leases", "job_state",
-        "seen_bloom", "domain_links", "domain_hits",
+        "job_state_archive", "seen_bloom", "domain_links", "domain_hits",
     )
 
     # payload auto-select bound: above this row count the images table is
@@ -123,6 +127,7 @@ class Crawler:
             "frontier_archive": FR.empty_frontier(s),
             "leases": FR.empty_leases(s),
             "job_state": FR.empty_job_state(s),
+            "job_state_archive": FR.empty_job_state(s),
             "seen_bloom": B.empty_bloom(s),
             "domain_links": s.createDataFrame([], DOMAIN_LINKS_SCHEMA),
             "domain_hits": TK.empty_hits(s),
@@ -480,6 +485,13 @@ class Crawler:
                 (F.coalesce("fin", F.lit(False)) | F.col("finished")).alias("finished"),
             )
         )
+        # finished job state leaves the hot table with the frontier rows
+        # (the reference deletes the whole job; the Bloom is the durable
+        # record) — the hot job_state merge scales with ACTIVE domains
+        job_state_archive = st["job_state_archive"].unionByName(
+            job_state.filter(F.col("finished"))
+        )
+        job_state = job_state.filter(~F.col("finished"))
         seen_bloom = st["seen_bloom"]
         if n_finished:
             seen_bloom = B.bloom_insert(
@@ -530,6 +542,7 @@ class Crawler:
             frontier_archive=st["frontier_archive"].unionByName(archived),
             leases=leases_next,
             job_state=job_state,
+            job_state_archive=job_state_archive,
             seen_bloom=seen_bloom,
             domain_links=domain_links,
         )
@@ -558,7 +571,9 @@ class Crawler:
         # tables this epoch provably didn't touch snapshot by hardlink
         unchanged: set[str] = set()
         if n_finished == 0:
-            unchanged |= {"seen_bloom", "domain_hits", "frontier_archive"}
+            unchanged |= {
+                "seen_bloom", "domain_hits", "frontier_archive", "job_state_archive",
+            }
         if n_disc == 0:
             unchanged.add("robots")
         self.checkpoint(unchanged)
@@ -603,7 +618,8 @@ class Crawler:
         return both.filter(F.col("state") == "done").select("url")
 
     def seen_domains_exact(self) -> DataFrame:
-        return self.state["job_state"].filter(F.col("finished")).select("domain")
+        both = self.state["job_state"].unionByName(self.state["job_state_archive"])
+        return both.filter(F.col("finished")).select("domain")
 
     def topk(self, k: int | None = None) -> DataFrame:
         return TK.topk(self.state["domain_hits"], k or self.cfg.topk_k)

@@ -272,6 +272,11 @@ def test_finished_domains_leave_hot_frontier(spark, tmp_path):
     }
     assert finished <= archived
     assert c.fetched_urls().count() > 0
+    # job_state mirrors the split: the hot merge table holds ACTIVE
+    # domains only, finished rows live in job_state_archive
+    assert c.state["job_state"].filter(F.col("finished")).count() == 0
+    js_arch = {r.domain for r in c.state["job_state_archive"].collect()}
+    assert js_arch == finished
 
 
 def test_epoch_driver_action_budget(spark, tmp_path):
