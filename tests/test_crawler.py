@@ -240,7 +240,8 @@ def test_hard_timeout_drains_endless_domain(spark, tmp_path):
     c.init_empty()
     c.seed(["http://endless0.com/"])
     c.run(8, stop_when_idle=False)
-    js = {r.domain: r for r in c.state["job_state"].collect()}
+    both = c.state["job_state"].unionByName(c.state["job_state_archive"])
+    js = {r.domain: r for r in both.collect()}
     assert js["endless0.com"].finished
     # far below the 1000-page budget: the timeout retired it
     assert js["endless0.com"].pages_crawled <= cfgd.domain_concurrency * (
