@@ -84,7 +84,8 @@ def test_politeness_invariant(crawl):
 
 def test_page_budget_respected(crawl):
     c, _, _, _ = crawl
-    over = c.state["job_state"].filter(F.col("pages_crawled") > CFG.page_budget).count()
+    js = c.state["job_state"].unionByName(c.state["job_state_archive"])
+    over = js.filter(F.col("pages_crawled") > CFG.page_budget).count()
     assert over == 0
 
 
