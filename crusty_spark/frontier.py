@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,6 +43,17 @@ class CrawlConfig:
     """Tunables, defaults mirroring conf/default.yaml of the reference."""
 
     shard_total: int = 16  # conf: shard_total (default.yaml:38)
+    # scoped shards — THE multi-engine seam (conf/default.yaml:35-43,
+    # wiring crusty.rs:550-560, scaling story README.md:42-58): enqueue
+    # writes tasks into ALL shards 0..shard_total-1, but THIS engine
+    # instance dequeues/finishes only shards in [shard_min, shard_max]
+    # (inclusive; shard_max=None means shard_total-1). N instances with
+    # disjoint scopes over shared state tables jointly produce exactly
+    # the single-engine schedule: addr_key -> shard is a function, so
+    # politeness never crosses a scope boundary
+    # (tests/test_crawler.py::test_scoped_shards_equal_single_engine).
+    shard_min: int = 0
+    shard_max: int | None = None
     dequeue_limit: int = 10_000  # per-shard domains/epoch (default.yaml:83)
     domain_concurrency: int = 2  # pages per domain per epoch (default.yaml:202)
     lease_ttl_epochs: int = 10  # job hard timeout analog (default.yaml:84-87)
@@ -65,6 +75,15 @@ class CrawlConfig:
     # linked-domain names collapse to the SLD and self-links compare SLDs
     second_level_only: bool = False
     max_redirect: int = 5  # status_filters::Redirect budget (default.yaml:196)
+    # per-domain politeness delay jitter (conf/default.yaml:203-206:
+    # delay 1s + delay_jitter 1s). Effective delay = crawl_delay +
+    # frac(domain) * delay_jitter with frac = pmod(xxhash64(domain),
+    # 1000)/1000 — the reference draws a random jitter; a deterministic
+    # hash-derived draw keeps engine/simulator equality exact (same
+    # trick as the hard-timeout jitter below). Units: epochs, like
+    # crawl_delay_epochs. 0 disables (legacy default);
+    # reference_config() carries the reference's 1.0.
+    delay_jitter: float = 0.0
     # resolver.addr_ipv6_policy (config.rs:227-231, types.rs:22-40):
     # v4_single (legacy identity) | disabled | preferred | fallback
     addr_ipv6_policy: str = "v4_single"
@@ -94,6 +113,38 @@ class CrawlConfig:
     # the threshold is moot)
     frontier_colocate_min_rows: int = 100_000
 
+    def __post_init__(self):
+        # a hard timeout that can't fire before the lease expires (J4)
+        # is silently neutralized: the lease lapses first, the domain is
+        # re-leased with a fresh lease_epoch and the age resets, so a
+        # stuck domain cycles soft-drain/re-lease forever instead of
+        # being force-finished. Reject the config instead.
+        if self.job_hard_timeout_epochs is not None and (
+            self.job_hard_timeout_epochs + self.job_hard_timeout_jitter_epochs
+            >= self.lease_ttl_epochs
+        ):
+            raise ValueError(
+                "job_hard_timeout_epochs + job_hard_timeout_jitter_epochs must be "
+                f"< lease_ttl_epochs (got {self.job_hard_timeout_epochs}+"
+                f"{self.job_hard_timeout_jitter_epochs} >= {self.lease_ttl_epochs}): "
+                "the lease would expire and reset the job age before the hard "
+                "timeout could ever fire"
+            )
+        lo, hi = self.shard_scope()
+        if not (0 <= lo <= hi < self.shard_total):
+            raise ValueError(
+                f"shard scope [{lo}, {hi}] must lie within [0, {self.shard_total - 1}]"
+            )
+
+    def shard_scope(self) -> tuple[int, int]:
+        """Inclusive [shard_min, shard_max] range this engine instance
+        dequeues/finishes (default.yaml:35-43)."""
+        hi = self.shard_total - 1 if self.shard_max is None else self.shard_max
+        return (self.shard_min, hi)
+
+    def scope_is_full(self) -> bool:
+        return self.shard_scope() == (0, self.shard_total - 1)
+
     def bloom_kwargs(self) -> dict:
         return {
             "capacity": self.seen_capacity,
@@ -114,6 +165,9 @@ def reference_config(**overrides) -> CrawlConfig:
     - job soft/hard timeouts on (default.yaml:212-217: 180 s soft,
       300 s hard + 60 s jitter, mapped to epochs at the reference's
       ~60 s batch cadence: 3 / 5 / 1)
+    - per-domain delay jitter on (default.yaml:203-206: delay_jitter 1s
+      == 1.0 in delay units; the engine defaults to 0 so existing token
+      rates stay stable)
 
     Everything else already mirrors conf/default.yaml.
     """
@@ -122,6 +176,7 @@ def reference_config(**overrides) -> CrawlConfig:
         job_soft_timeout_epochs=3,
         job_hard_timeout_epochs=5,
         job_hard_timeout_jitter_epochs=1,
+        delay_jitter=1.0,
     )
     base.update(overrides)
     return CrawlConfig(**base)
@@ -266,6 +321,12 @@ def dequeue(
         F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch)
     )
     queued = frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
+    if not cfg.scope_is_full():
+        # scoped shards (default.yaml:35-43, crusty.rs:550-560): this
+        # engine instance only schedules its shard range; on a
+        # shard-partitioned snapshot the predicate prunes at file level
+        lo, hi = cfg.shard_scope()
+        queued = queued.filter(F.col("shard").between(F.lit(lo), F.lit(hi)))
     # domain-level candidates. When the frontier table is partitioned by
     # domain (the engine keeps it that way — see Crawler/bench), this
     # aggregation needs NO exchange: hash-partitioning on `domain` is a
@@ -335,19 +396,6 @@ def dequeue(
 # Politeness token bucket + fetch-task selection
 # ---------------------------------------------------------------------
 
-_ALLOW_SCHEMA = T.StructType(
-    [
-        T.StructField("domain", T.StringType(), False),
-        T.StructField("shard", T.IntegerType(), False),
-        T.StructField("pages_crawled", T.IntegerType(), False),
-        T.StructField("tokens", T.DoubleType(), False),
-        T.StructField("last_refill_epoch", T.IntegerType(), False),
-        T.StructField("finished", T.BooleanType(), False),
-        T.StructField("allowed", T.IntegerType(), False),
-    ]
-)
-
-
 def allowance(
     job_state: DataFrame,
     leased: DataFrame,
@@ -355,16 +403,25 @@ def allowance(
     epoch: int,
     cfg: CrawlConfig,
 ) -> DataFrame:
-    """Vectorized token-bucket update for leased domains (north_star's
-    'politeness token buckets as pandas/Arrow UDFs').
+    """Token-bucket update for leased domains, as pure JVM column
+    expressions (whole-stage codegen — no Python on the scheduler hot
+    path; the earlier applyInPandas version grouped by shard, capping
+    parallelism at shard_total and forcing each shard's leased set
+    through one pandas frame, for arithmetic that is row-independent).
 
-    rate = concurrency / (1 + crawl_delay) tokens/epoch, cap =
-    concurrency; allowed pages this epoch = floor(available tokens),
-    also capped by the remaining page budget (F6) and zeroed once the
-    lease age reaches job_soft_timeout_epochs (the reference's
-    soft-timeout "stop queueing new tasks, let in-flight drain" phase,
+    rate = concurrency / (1 + crawl_delay + jitter(domain)) tokens per
+    epoch with jitter = pmod(xxhash64(domain), 1000)/1000 *
+    delay_jitter (default.yaml:203-206 — the reference draws a random
+    jitter per request; a deterministic per-domain draw keeps
+    engine/simulator equality exact); cap = concurrency; allowed pages
+    this epoch = floor(available tokens), also capped by the remaining
+    page budget (F6) and zeroed once the lease age reaches
+    job_soft_timeout_epochs (the reference's soft-timeout "stop
+    queueing new tasks, let in-flight drain" phase,
     default.yaml:212-214). Returns updated job_state rows + 'allowed'
-    for this epoch's leased domains only.
+    for this epoch's leased domains only. Every double op mirrors
+    simulator.SimCrawler.run_epoch bit-for-bit (same order, same
+    IEEE-754 rounding).
     """
     base = (
         leased.select("domain", "shard", "lease_epoch")
@@ -383,33 +440,29 @@ def allowance(
     )
 
     cap = float(cfg.domain_concurrency)
-    budget = cfg.page_budget
-    soft = cfg.job_soft_timeout_epochs
-
-    def update(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        rate = cap / (1.0 + pdf["delay"].to_numpy(dtype=np.float64))
-        dt = (epoch - pdf["last_refill_epoch"].to_numpy(dtype=np.int64)).clip(min=0)
-        tokens = np.minimum(pdf["tokens"].to_numpy(dtype=np.float64) + rate * dt, cap)
-        remaining = (budget - pdf["pages_crawled"].to_numpy(dtype=np.int64)).clip(min=0)
-        allowed = np.minimum(np.floor(tokens).astype(np.int64), remaining)
-        if soft is not None:
-            age = epoch - pdf["lease_epoch"].to_numpy(dtype=np.int64)
-            allowed = np.where(age >= soft, 0, allowed)
-        return pd.DataFrame(
-            {
-                "domain": pdf["domain"],
-                "shard": pdf["shard"],
-                "pages_crawled": pdf["pages_crawled"],
-                "tokens": tokens,
-                "last_refill_epoch": epoch,
-                "finished": pdf["finished"],
-                "allowed": allowed.astype(np.int32),
-            }
-        )
-
-    return base.groupBy("shard").applyInPandas(update, _ALLOW_SCHEMA)
+    jitter = (
+        F.pmod(F.xxhash64("domain"), F.lit(1000)).cast("double") / F.lit(1000.0)
+    ) * F.lit(float(cfg.delay_jitter))
+    eff_delay = F.col("delay").cast("double") + jitter
+    rate = F.lit(cap) / (F.lit(1.0) + eff_delay)
+    dt = F.greatest(F.lit(epoch) - F.col("last_refill_epoch"), F.lit(0)).cast("double")
+    tokens = F.least(F.col("tokens") + rate * dt, F.lit(cap))
+    remaining = F.greatest(F.lit(cfg.page_budget) - F.col("pages_crawled"), F.lit(0))
+    allowed = F.least(F.floor(tokens), remaining.cast("long"))
+    if cfg.job_soft_timeout_epochs is not None:
+        allowed = F.when(
+            F.lit(epoch) - F.col("lease_epoch") >= F.lit(cfg.job_soft_timeout_epochs),
+            F.lit(0).cast("long"),
+        ).otherwise(allowed)
+    return base.select(
+        "domain",
+        "shard",
+        "pages_crawled",
+        tokens.alias("tokens"),
+        F.lit(epoch).cast("int").alias("last_refill_epoch"),
+        "finished",
+        allowed.cast("int").alias("allowed"),
+    )
 
 
 def select_fetch_tasks(

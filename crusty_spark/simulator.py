@@ -157,10 +157,15 @@ class SimCrawler:
         }
         leased_domains = {v[0] for v in self.leases.values()}
 
-        # dequeue: one domain per addr_key, argmin(min_depth, domain)
+        # dequeue: one domain per addr_key, argmin(min_depth, domain);
+        # a scoped instance (default.yaml:35-43) only schedules its
+        # shard range — enqueue still writes all shards
+        scope_lo, scope_hi = cfg.shard_scope()
         cand: dict[str, dict[str, tuple[int, str, int]]] = {}
         for t in self.tasks.values():
             if t.state != "queued" or t.blocked:
+                continue
+            if not (scope_lo <= t.shard <= scope_hi):
                 continue
             j = self.jobs.get(t.domain)
             if j and j.finished:
@@ -195,7 +200,11 @@ class SimCrawler:
                            tokens=float(cfg.domain_concurrency), last_refill_epoch=epoch)
                 self.jobs[dom] = j
             _, delay = self._robots_of(dom)
-            rate = cfg.domain_concurrency / (1.0 + delay)
+            # per-domain delay jitter (default.yaml:203-206), the same
+            # hash-derived draw and double-op ORDER as frontier.allowance:
+            # rate = cap / (1.0 + (delay + jitter))
+            jit = (spark_xxhash64_str(dom) % 1000) / 1000.0 * cfg.delay_jitter
+            rate = cfg.domain_concurrency / (1.0 + (delay + jit))
             dt = max(0, epoch - j.last_refill_epoch)
             j.tokens = min(j.tokens + rate * dt, float(cfg.domain_concurrency))
             j.last_refill_epoch = epoch

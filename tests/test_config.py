@@ -69,8 +69,40 @@ def test_reference_config_defaults():
     assert rc.job_soft_timeout_epochs == 3
     assert rc.job_hard_timeout_epochs == 5
     assert rc.job_hard_timeout_jitter_epochs == 1
+    assert rc.delay_jitter == 1.0  # conf/default.yaml:203-206
     assert rc.shard_total == CrawlConfig().shard_total  # rest unchanged
     assert reference_config(page_budget=7).page_budget == 7
+
+
+def test_hard_timeout_must_beat_lease_ttl():
+    """A hard timeout that can't fire before the lease expires (J4)
+    would be silently neutralized — the lease lapses, the domain is
+    re-leased with a fresh lease_epoch and the job age resets. Such a
+    config is rejected at construction."""
+    from crusty_spark.frontier import CrawlConfig
+
+    with pytest.raises(ValueError, match="lease_ttl_epochs"):
+        CrawlConfig(lease_ttl_epochs=5, job_hard_timeout_epochs=5)
+    with pytest.raises(ValueError, match="lease_ttl_epochs"):
+        CrawlConfig(
+            lease_ttl_epochs=5,
+            job_hard_timeout_epochs=3,
+            job_hard_timeout_jitter_epochs=2,
+        )
+    # boundary ok: hard + jitter == ttl - 1 can always fire first
+    CrawlConfig(lease_ttl_epochs=5, job_hard_timeout_epochs=4)
+
+
+def test_shard_scope_validation():
+    from crusty_spark.frontier import CrawlConfig
+
+    assert CrawlConfig(shard_total=8).shard_scope() == (0, 7)
+    assert CrawlConfig(shard_total=8, shard_min=2, shard_max=5).shard_scope() == (2, 5)
+    assert not CrawlConfig(shard_total=8, shard_max=3).scope_is_full()
+    with pytest.raises(ValueError, match="shard scope"):
+        CrawlConfig(shard_total=8, shard_min=5, shard_max=3)
+    with pytest.raises(ValueError, match="shard scope"):
+        CrawlConfig(shard_total=8, shard_max=8)
 
 
 def test_env_only_and_bool_coercion():

@@ -226,6 +226,33 @@ def test_equality_with_timeouts_and_blacklist(spark, tmp_path):
     assert engine_urls == set().union(*s.fetched_log)
 
 
+def test_equality_with_delay_jitter(spark, tmp_path):
+    """Per-domain delay jitter (default.yaml:203-206) makes token rates
+    fractional and domain-specific — engine and simulator must still
+    agree exactly (the jitter draw is the same hash on both sides)."""
+    cfgj = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=3,
+        lease_ttl_epochs=10, max_depth=4, page_budget=8,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        delay_jitter=1.5,
+    )
+    seeds = seed_urls(10)
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_jit"), cfg=cfgj)
+    c.init_empty()
+    c.seed(seeds)
+    stats = c.run(4, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfgj)
+    s.seed(seeds)
+    sim_stats = s.run(4)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.finished, got.queued_after) == (
+            want["dequeued"], want["fetched"], want["finished"], want["queued_after"]
+        ), f"epoch {got.epoch}"
+    engine_urls = {r.url for r in c.fetched_urls().collect()}
+    assert engine_urls == set().union(*s.fetched_log)
+
+
 def test_hard_timeout_drains_endless_domain(spark, tmp_path):
     """A domain whose pages keep yielding internal links is bounded by
     the job timeouts, not just page_budget: soft stops new selections,

@@ -141,6 +141,49 @@ def test_loaded_snapshot_dequeue_is_exchange_free(spark, tmp_path):
     assert grouping_exchange.search(ran2)
 
 
+def test_allowance_is_jvm_side(spark):
+    """The token-bucket allowance (frontier.allowance) is pure JVM
+    column arithmetic — the round-3 applyInPandas version grouped by
+    shard, capping parallelism at shard_total and putting a Python
+    stage on the scheduler hot path for row-independent math."""
+    from crusty_spark.fixtures import robots_df
+    from crusty_spark.frontier import CrawlConfig, allowance, empty_job_state, empty_leases
+
+    cfg = CrawlConfig(job_soft_timeout_epochs=2, delay_jitter=1.0)
+    df = allowance(
+        empty_job_state(spark), empty_leases(spark), robots_df(spark, ["a.com"]), 3, cfg
+    )
+    plan = _plan(df, "simple")
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_scoped_dequeue_prunes_shard_partitions(spark, tmp_path):
+    """A scoped engine's dequeue over a shard-partitioned snapshot
+    prunes to its shard range at file level (the Iceberg bucket()
+    analog of default.yaml:35-43 scoped shards)."""
+    from crusty_spark.fixtures import seed_urls
+    from crusty_spark.frontier import (
+        CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases,
+        enqueue_tasks, identity_for_urls,
+    )
+
+    cfg = CrawlConfig(shard_total=4, shard_min=1, shard_max=2)
+    tasks = identity_for_urls(
+        spark.createDataFrame([(u,) for u in seed_urls(40)], ["url"]), cfg
+    ).withColumn("blocked", F.lit(False))
+    frontier = enqueue_tasks(empty_frontier(spark), tasks, 0)
+    path = str(tmp_path / "frontier_scoped")
+    frontier.write.partitionBy("shard").parquet(path)
+    rd = spark.read.parquet(path)
+    df = dequeue(rd, empty_leases(spark), empty_job_state(spark), 1, cfg)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "shard" in seg
+    got = {r.shard for r in df.select("shard").distinct().collect()}
+    assert got <= {1, 2}
+
+
 def test_dequeue_has_no_python_stage(spark):
     """The scheduler hot path (dequeue selection) must stay JVM-side."""
     from crusty_spark.frontier import CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases
