@@ -36,7 +36,6 @@ from . import fetch as FE
 from . import frontier as FR
 from . import metrics as M
 from . import topk as TK
-from .fixtures import robots_df as default_robots
 from .fixtures import tld_whitelist_df
 from .frontier import CrawlConfig
 
@@ -74,6 +73,16 @@ class Crawler:
         "job_state_archive", "seen_bloom", "domain_links", "domain_hits",
     )
 
+    # Archives are APPEND-ONLY on disk: each finishing epoch writes only
+    # its archived DELTA to ``{checkpoint}/archive/<name>/e{N}`` (the
+    # same pattern the metrics tables use) and the logical table is the
+    # union of deltas. Rewriting the whole cold table per epoch would
+    # make checkpoint write cost O(total domains ever finished) — crawl
+    # age, not active width. On Iceberg each delta is one append commit.
+    # Archive deltas are never pruned (prune_snapshots expires epoch
+    # snapshots only); resume reads deltas up to the manifest epoch.
+    ARCHIVE_TABLES = ("frontier_archive", "job_state_archive")
+
     # payload auto-select bound: above this row count the images table is
     # treated as a genuine big table (equi-join fetch mode) instead of
     # being collect()ed into the UDF-resident broadcast store — the
@@ -110,6 +119,8 @@ class Crawler:
         self.tlds = tld_whitelist_df(spark)
         self.epoch = 0
         self.state: dict[str, DataFrame] = {}
+        # per-epoch archive deltas, written append-only by checkpoint()
+        self._archive_deltas: dict[str, DataFrame] = {}
         self.metrics_rows: list[dict] = []
         # cached domain-partitioned frontier handle (see _load_frontier)
         self._frontier_cache: DataFrame | None = None
@@ -136,12 +147,29 @@ class Crawler:
 
     def seed(self, seed_urls: list[str]) -> None:
         """send_seed_jobs analog (crusty.rs:491-512): host-less URLs are
-        skipped; seeds enter the frontier at depth 0."""
+        skipped; seeds enter the frontier at depth 0.
+
+        Driver-free after the createDataFrame: robots for seed domains
+        are synthesized by the same distributed ``_extend_robots`` path
+        discovery uses (mapInPandas), not a driver-side collect of the
+        domain list — a 10M-seed bootstrap stays executor-resident, and
+        seed() issues no Spark action at all (the action-budget test
+        covers it). Re-seeding a domain the crawl already FINISHED is a
+        no-op: finished rows leave the hot tables for the archives
+        (reference deletes the job outright, redis-queue/src/
+        lib.rs:162-169), so seeds are anti-joined against
+        job_state_archive — the exclusion the hot job_state
+        ``finished`` filter provided before archiving existed."""
         raw = self.spark.createDataFrame([(u,) for u in seed_urls], ["url"])
         tasks = FR.identity_for_urls(raw, self.cfg)
+        tasks = tasks.join(
+            self.state["job_state_archive"].select("domain"), "domain", "left_anti"
+        )
         if self.robots is None:
-            doms = [r.domain for r in tasks.select("domain").distinct().collect()]
-            self.robots = default_robots(self.spark, doms)
+            from .fixtures import ROBOTS_SCHEMA
+
+            self.robots = self.spark.createDataFrame([], ROBOTS_SCHEMA)
+        self._extend_robots(tasks)
         tasks = FE.robots_blocked_col(tasks, self.robots)
         self.state["frontier"] = FR.enqueue_tasks(self.state["frontier"], tasks, epoch=0)
 
@@ -160,6 +188,7 @@ class Crawler:
 
         fresh = (
             new_domains.select("domain")
+            .distinct()
             .join(self.robots.select("domain"), "domain", "left_anti")
             .mapInPandas(gen, ROBOTS_SCHEMA)
         )
@@ -180,11 +209,13 @@ class Crawler:
             )
         prev = self._epoch_dir(self.epoch - 1)
         for name in self.TABLES:
+            if name in self.ARCHIVE_TABLES:
+                continue  # append-only deltas, written below
             # tables the epoch provably didn't touch (no finishes -> no
-            # bloom/hits/archive delta; no discoveries -> no robots
-            # delta) hardlink the previous snapshot's immutable parquet
-            # files instead of re-running a Spark write — the Iceberg
-            # analog is simply not committing to an unchanged table
+            # bloom/hits delta; no discoveries -> no robots delta)
+            # hardlink the previous snapshot's immutable parquet files
+            # instead of re-running a Spark write — the Iceberg analog
+            # is simply not committing to an unchanged table
             if name in unchanged and os.path.isdir(os.path.join(prev, name)):
                 self._link_table(os.path.join(prev, name), os.path.join(d, name))
                 continue
@@ -194,6 +225,16 @@ class Crawler:
                 # subset prune at the file level (Iceberg bucket() analog)
                 w = w.partitionBy("shard")
             w.parquet(os.path.join(d, name))
+        # archive deltas: only the rows archived THIS epoch are written
+        # (append-only; one Iceberg append commit per finishing epoch) —
+        # checkpoint write cost tracks the epoch's finish count, never
+        # total crawl age
+        for name in self.ARCHIVE_TABLES:
+            delta = self._archive_deltas.pop(name, None)
+            if delta is not None and name not in unchanged:
+                delta.write.mode("overwrite").parquet(
+                    os.path.join(self.ckpt, "archive", name, f"e{self.epoch:06d}")
+                )
         if "robots" in unchanged and os.path.isdir(os.path.join(prev, "robots")):
             self._link_table(os.path.join(prev, "robots"), os.path.join(d, "robots"))
         else:
@@ -205,11 +246,36 @@ class Crawler:
         os.replace(tmp, os.path.join(self.ckpt, "manifest.json"))
         # reload from disk: snapshot isolation + lineage truncation
         for name in self.TABLES:
+            if name in self.ARCHIVE_TABLES:
+                self.state[name] = self._read_archive(name, self.epoch)
+                continue
             self.state[name] = self.spark.read.schema(self.state[name].schema).parquet(
                 os.path.join(d, name)
             )
         self.state["frontier"] = self._load_frontier(self.state["frontier"])
         self.robots = self.spark.read.parquet(os.path.join(d, "robots"))
+
+    def _archive_schema(self, name: str):
+        return FR.FRONTIER_SCHEMA if name == "frontier_archive" else FR.JOB_STATE_SCHEMA
+
+    def _archive_dirs(self, name: str, upto_epoch: int) -> list[str]:
+        import glob
+
+        return [
+            p
+            for p in sorted(glob.glob(os.path.join(self.ckpt, "archive", name, "e*")))
+            if int(os.path.basename(p)[1:]) <= upto_epoch
+        ]
+
+    def _read_archive(self, name: str, upto_epoch: int) -> DataFrame:
+        """The logical archive table = union of per-epoch delta appends
+        up to ``upto_epoch`` (deltas past the manifest epoch belong to a
+        crashed, uncommitted epoch and are excluded)."""
+        dirs = self._archive_dirs(name, upto_epoch)
+        schema = self._archive_schema(name)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     @staticmethod
     def _link_table(src: str, dst: str) -> None:
@@ -293,6 +359,9 @@ class Crawler:
             shutil.rmtree(d, ignore_errors=True)
 
     def resume(self) -> None:
+        import glob
+        import shutil
+
         with open(os.path.join(self.ckpt, "manifest.json")) as f:
             manifest = json.load(f)
         self.epoch = manifest["epoch"]
@@ -300,6 +369,17 @@ class Crawler:
         self.init_empty()
         self.epoch = manifest["epoch"]
         for name in self.TABLES:
+            if name in self.ARCHIVE_TABLES:
+                # drop any delta past the manifest epoch first: it
+                # belongs to an epoch whose manifest commit never
+                # happened (crash between delta write and manifest
+                # rename) and would otherwise leak into a later
+                # no-finish epoch's reload
+                for p in sorted(glob.glob(os.path.join(self.ckpt, "archive", name, "e*"))):
+                    if int(os.path.basename(p)[1:]) > self.epoch:
+                        shutil.rmtree(p, ignore_errors=True)
+                self.state[name] = self._read_archive(name, self.epoch)
+                continue
             schema = self.state[name].schema
             self.state[name] = self.spark.read.schema(schema).parquet(os.path.join(d, name))
         self.state["frontier"] = self._load_frontier(self.state["frontier"])
@@ -488,10 +568,11 @@ class Crawler:
         # finished job state leaves the hot table with the frontier rows
         # (the reference deletes the whole job; the Bloom is the durable
         # record) — the hot job_state merge scales with ACTIVE domains
-        job_state_archive = st["job_state_archive"].unionByName(
-            job_state.filter(F.col("finished"))
-        )
+        js_fin = job_state.filter(F.col("finished"))
+        job_state_archive = st["job_state_archive"].unionByName(js_fin)
         job_state = job_state.filter(~F.col("finished"))
+        # the epoch's archive DELTAS — all checkpoint persists (append)
+        self._archive_deltas = {"frontier_archive": archived, "job_state_archive": js_fin}
         seen_bloom = st["seen_bloom"]
         if n_finished:
             seen_bloom = B.bloom_insert(

@@ -320,9 +320,40 @@ def test_epoch_driver_action_budget(spark, tmp_path):
     images = images_df(spark, N_IMAGES).cache()
     c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_act"), cfg=cfgb)
     c.init_empty()
+    # seed() must be fully lazy — no driver collect, no Spark job (the
+    # round-3 version collected all seed domains to synthesize robots)
+    sc = spark.sparkContext
+    sc.setJobGroup("seed_audit", "seed must not run jobs")
     c.seed(seed_urls(6))
+    sc.setJobGroup("seed_audit_done", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("seed_audit")) == []
     c.run(2, stop_when_idle=False)
     assert c.last_epoch_actions == 4
+
+
+def test_reseeding_finished_domain_is_noop(spark, tmp_path):
+    """With finished domains archived out of the hot tables, seed()
+    anti-joins against job_state_archive so re-seeding a finished
+    domain cannot re-crawl it, while genuinely new seeds still enter."""
+    cfgr = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=2,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_reseed"), cfg=cfgr)
+    c.init_empty()
+    c.seed(seed_urls(4))
+    c.run(4, stop_when_idle=False)
+    finished = {r.domain for r in c.seen_domains_exact().collect()}
+    assert finished  # the 2-page budget must finish some domains
+    dom = sorted(finished)[0]
+    c.seed([f"http://{dom}/", "http://brandnewseed0.com/"])
+    hot = c.state["frontier"]
+    assert hot.filter(F.col("domain") == dom).count() == 0, "finished domain re-entered"
+    assert hot.filter(F.col("domain") == "brandnewseed0.com").count() == 1
+    c.run(1, stop_when_idle=False)
+    assert c.state["frontier"].filter(F.col("domain") == dom).count() == 0
 
 
 def test_topk_state_bounded_with_small_headroom(spark, tmp_path):
@@ -357,6 +388,52 @@ def test_topk_state_bounded_with_small_headroom(spark, tmp_path):
     assert set(got) == set(s.hits)
     for key in got:
         assert abs(got[key] - s.hits[key]) < 1e-9, key
+
+
+def test_archive_writes_are_per_epoch_deltas(spark, tmp_path):
+    """Append-only archives: each finishing epoch writes ONLY its
+    archived delta under archive/<name>/e{N} (the metrics append
+    pattern) — never a rewrite of the whole cold table — so checkpoint
+    write cost tracks the epoch's finish count, not crawl age."""
+    import glob
+    import os
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=2,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    ck = str(tmp_path / "ckpt_delta")
+    c = Crawler(spark, images, N_IMAGES, ck, cfg=cfg)
+    c.init_empty()
+    c.seed(seed_urls(10))
+    c.run(5, stop_when_idle=False)
+    fins = {m["epoch"]: m["finished"] for m in c.metrics_rows}
+    assert any(n > 0 for n in fins.values())
+    # job_state_archive: a delta dir exists iff the epoch finished
+    # domains, and holds exactly that epoch's finished rows
+    for e, n in fins.items():
+        dd = os.path.join(ck, "archive", "job_state_archive", f"e{e:06d}")
+        assert os.path.isdir(dd) == (n > 0), (e, n)
+        if n:
+            assert c.spark.read.parquet(dd).count() == n
+    # frontier_archive deltas are disjoint per epoch and union to the
+    # logical archive — nothing was ever rewritten
+    fa_dirs = sorted(glob.glob(os.path.join(ck, "archive", "frontier_archive", "e*")))
+    assert fa_dirs
+    per_domains = [
+        {r.domain for r in c.spark.read.parquet(p).select("domain").distinct().collect()}
+        for p in fa_dirs
+    ]
+    flat = [d for s in per_domains for d in s]
+    assert len(flat) == len(set(flat)), "same domain archived twice"
+    per_rows = [c.spark.read.parquet(p).count() for p in fa_dirs]
+    assert sum(per_rows) == c.state["frontier_archive"].count()
+    # epoch snapshot dirs no longer carry full archive copies
+    for d2 in glob.glob(os.path.join(ck, "epoch=*")):
+        assert not os.path.isdir(os.path.join(d2, "frontier_archive"))
+        assert not os.path.isdir(os.path.join(d2, "job_state_archive"))
 
 
 def test_snapshot_pruning_keeps_resumability(spark, tmp_path):
