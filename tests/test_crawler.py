@@ -390,6 +390,108 @@ def test_topk_state_bounded_with_small_headroom(spark, tmp_path):
         assert abs(got[key] - s.hits[key]) < 1e-9, key
 
 
+def test_scoped_shards_equal_single_engine(spark, tmp_path):
+    """The multi-engine seam (conf/default.yaml:35-43, crusty.rs:550-560,
+    README.md:42-58): two Crawler instances with disjoint shard scopes
+    over SHARED state tables must jointly produce exactly the
+    single-engine schedule. The reference shares one Redis; here the
+    share is emulated by a per-epoch commit/merge of the shared tables
+    (frontier, seen Bloom, robots cache) after both instances' epochs —
+    exactly what concurrent engines see on shared storage, since each
+    dequeues at epoch start from the previous epoch's committed state.
+    Politeness can never cross a scope boundary (addr_key -> shard is a
+    function), so per-epoch dequeue/fetch/finish counts ADD UP to the
+    single-engine (simulator) run, and the final fetched-URL and
+    seen-domain sets match exactly."""
+    cfgs = dict(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=4,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+    )
+    scope_a, scope_b = (0, 1), (2, 3)
+    cfg_a = CrawlConfig(**cfgs, shard_min=0, shard_max=1)
+    cfg_b = CrawlConfig(**cfgs, shard_min=2, shard_max=3)
+    seeds = seed_urls(12)
+    images = images_df(spark, N_IMAGES).cache()
+    ca = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_sA"), cfg=cfg_a)
+    cb = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_sB"), cfg=cfg_b)
+    for c in (ca, cb):
+        c.init_empty()
+        c.seed(seeds)  # enqueue writes ALL shards on both (crusty.rs:550-560)
+
+    def merged_scope_rows(owner, other, scope):
+        """The merged frontier's rows for `scope`: the owner (the
+        instance that schedules these shards) is authoritative; the
+        other instance can only have ADDED rows there (discovery
+        enqueues cross shard scopes), so take its additions minus
+        anything the owner already has or has archived/finished."""
+        lo, hi = scope
+        own = owner.state["frontier"].filter(F.col("shard").between(lo, hi))
+        oth = other.state["frontier"].filter(F.col("shard").between(lo, hi))
+        known = own.select("domain", "url_hash").unionByName(
+            owner.state["frontier_archive"].select("domain", "url_hash")
+        )
+        fresh = (
+            oth.join(known, ["domain", "url_hash"], "left_anti")
+            .join(owner.state["job_state_archive"].select("domain"), "domain", "left_anti")
+        )
+        return own.unionByName(fresh)
+
+    def merge_blooms(a, b):
+        """OR the shared scaling-Bloom bitsets per (shard, level) — the
+        shared-Redis analog. n_items double-counts the common base; at
+        this capacity (5000 vs ~100 inserts) level scaling never
+        triggers, so only the bits matter."""
+        from crusty_spark.bloom import BLOOM_SCHEMA
+
+        rows: dict = {}
+        for r in a.collect() + b.collect():
+            key = (r.shard, r.level)
+            if key in rows:
+                p = rows[key]
+                p["bits"] = bytes(x | y for x, y in zip(p["bits"], bytes(r.bits)))
+                p["n_items"] += r.n_items
+            else:
+                rows[key] = {
+                    "shard": r.shard, "level": r.level, "bits": bytes(r.bits),
+                    "n_bits": r.n_bits, "n_hashes": r.n_hashes,
+                    "n_items": r.n_items, "capacity": r.capacity,
+                }
+        data = [tuple(v[f] for f in BLOOM_SCHEMA.fieldNames()) for v in rows.values()]
+        return spark.createDataFrame(data, BLOOM_SCHEMA)
+
+    stats_a, stats_b = [], []
+    for _ in range(3):
+        stats_a.append(ca.run_epoch())
+        stats_b.append(cb.run_epoch())
+        # the per-epoch shared-table commit
+        frontier = merged_scope_rows(ca, cb, scope_a).unionByName(
+            merged_scope_rows(cb, ca, scope_b)
+        ).localCheckpoint()
+        bloom = merge_blooms(ca.state["seen_bloom"], cb.state["seen_bloom"])
+        robots = ca.robots.unionByName(cb.robots).dropDuplicates(["domain"]).localCheckpoint()
+        for c in (ca, cb):
+            c.state["frontier"] = frontier
+            c.state["seen_bloom"] = bloom
+            c.robots = robots
+
+    s = SimCrawler(N_IMAGES, cfg=CrawlConfig(**cfgs))  # full scope
+    s.seed(seeds)
+    sim_stats = s.run(3)
+    for ga, gb, want in zip(stats_a, stats_b, sim_stats):
+        assert ga.dequeued + gb.dequeued == want["dequeued"], f"epoch {ga.epoch} dequeued"
+        assert ga.fetched + gb.fetched == want["fetched"], f"epoch {ga.epoch} fetched"
+        assert ga.finished + gb.finished == want["finished"], f"epoch {ga.epoch} finished"
+    got_urls = {r.url for r in ca.fetched_urls().collect()} | {
+        r.url for r in cb.fetched_urls().collect()
+    }
+    assert got_urls == set().union(*s.fetched_log)
+    got_seen = {r.domain for r in ca.seen_domains_exact().collect()} | {
+        r.domain for r in cb.seen_domains_exact().collect()
+    }
+    assert got_seen == s.seen
+
+
 def test_archive_writes_are_per_epoch_deltas(spark, tmp_path):
     """Append-only archives: each finishing epoch writes ONLY its
     archived delta under archive/<name>/e{N} (the metrics append
