@@ -238,11 +238,13 @@ def main() -> None:
         box = os.cpu_count() or cpus
         hi = min(cpus, max(box // 2, 4))
         lo = max(hi // 4, 1)
-        # 3 pairs x 1 measured epoch each (after a warm-up): noise is
-        # bursty and persists across a subprocess's epochs, so at a fixed
-        # time budget three independent pair draws beat two double-epoch
-        # pairs for the best-pair estimator; total bench stays ~15-20 min
-        pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+        # 5 independent pair draws (each trial = best-of-2 measured
+        # epochs after a warm-up): noise on this shared VM arrives as
+        # multi-second spikes, so more independent draws tighten BOTH
+        # estimators — best-pair (the capability number) and the median
+        # (the robustness number, computed over per-trial bests so one
+        # spiked epoch inside a trial doesn't poison it)
+        pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "5"))
         trials = {hi: [], lo: []}
         pair_effs = []
         for _ in range(pairs):
@@ -254,14 +256,18 @@ def main() -> None:
 
         def summarize(rs: list[dict]) -> dict:
             best = max(rs, key=lambda r: r["pops_per_sec"])
-            secs = sorted(s for r in rs for s in r["all_secs"])
+            # the median estimator uses each trial's best-of-repeats
+            # (the trial's measurement); raw epoch times are reported
+            # unreduced in all_secs for transparency
+            trial_secs = sorted(r["sec"] for r in rs)
             return {
                 "cpus": best["cpus"],
                 "pops": best["pops"],
                 "sec": best["sec"],
                 "pops_per_sec": best["pops_per_sec"],
-                "median_sec": secs[len(secs) // 2],
-                "all_secs": secs,
+                "median_sec": trial_secs[len(trial_secs) // 2],
+                "trial_secs": trial_secs,
+                "all_secs": sorted(s for r in rs for s in r["all_secs"]),
             }
 
         r_hi, r_lo = summarize(trials[hi]), summarize(trials[lo])

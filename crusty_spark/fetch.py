@@ -147,6 +147,57 @@ def py_content_ok(final_hash: int) -> bool:
 
 
 # ---------------------------------------------------------------------
+# Fetch-phase timings/sizes + response caps
+# ---------------------------------------------------------------------
+#
+# The reference bounds every fetch with `max_response_size: 2mib`,
+# `status_timeout` and `load_timeout` (conf/default.yaml:201-211) and
+# records the phase breakdown per task in metrics_task:
+# write_size_b / wait_time_ms / status_time_ms / load_time_ms /
+# parse_time_micro (infra/clickhouse/init.sql:43-52, types.rs:170-197).
+# The sandbox has no network, so the phase quantities are deterministic
+# hash draws — identical in the Arrow kernel and the simulator — and
+# the caps terminate a task AFTER the read but BEFORE the parser: the
+# task is consumed (counted, marked done) but yields no payload fields
+# and no links, exactly like the content-type rejection above.
+MAX_RESPONSE_SIZE = 2 * 1024 * 1024  # max_response_size: 2mib (default.yaml:201)
+STATUS_TIMEOUT_MS = 390  # synthetic status wait ~U[0,400) -> ~2.5% trip
+LOAD_TIMEOUT_MS = 780  # synthetic body load ~U[0,800) -> ~2.5% trip
+OVERSIZE_EVERY = 50  # ~2% of successful responses exceed the size cap
+STATUS_STATUS_TIMEOUT = 597  # no status line within status_timeout
+STATUS_LOAD_TIMEOUT = 598  # body read exceeded load_timeout
+
+
+def fetch_phase_np(fh: np.ndarray, uh: np.ndarray):
+    """Vectorized synthetic fetch-phase draws from hash bits ->
+    (status_time_ms, load_time_ms, oversize, wait_time_ms,
+    write_size_b). Response-side quantities key on the REDIRECT-FOLLOWED
+    hash (the response actually read); request-side (wait, TX bytes) on
+    the original url_hash."""
+    fu = fh.astype(np.uint64)
+    uu = uh.astype(np.uint64)
+    st_ms = ((fu >> np.uint64(23)) % np.uint64(400)).astype(np.int64)
+    ld_ms = ((fu >> np.uint64(31)) % np.uint64(800)).astype(np.int64)
+    oversz = ((fu >> np.uint64(41)) % np.uint64(OVERSIZE_EVERY)) == 0
+    wait_ms = ((uu >> np.uint64(19)) % np.uint64(200)).astype(np.int64)
+    write_b = (np.uint64(160) + (uu >> np.uint64(9)) % np.uint64(480)).astype(np.int64)
+    return st_ms, ld_ms, oversz, wait_ms, write_b
+
+
+def py_fetch_phase(final_hash: int, url_hash: int):
+    """Scalar twin of fetch_phase_np (same tuple, same bit draws)."""
+    m = (1 << 64) - 1
+    fu, uu = final_hash & m, url_hash & m
+    return (
+        (fu >> 23) % 400,
+        (fu >> 31) % 800,
+        ((fu >> 41) % OVERSIZE_EVERY) == 0,
+        (uu >> 19) % 200,
+        160 + (uu >> 9) % 480,
+    )
+
+
+# ---------------------------------------------------------------------
 # Deterministic link derivation (the "DocumentParser + task_expanders")
 # ---------------------------------------------------------------------
 #
@@ -237,6 +288,13 @@ PARSE_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType(), True),
         T.StructField("phash_ok", T.BooleanType(), True),
         T.StructField("read_size_b", T.LongType(), True),
+        # fetch-phase breakdown + caps (init.sql:43-52, types.rs:170-197)
+        T.StructField("write_size_b", T.LongType(), True),
+        T.StructField("wait_time_ms", T.IntegerType(), True),
+        T.StructField("status_time_ms", T.IntegerType(), True),
+        T.StructField("load_time_ms", T.IntegerType(), True),
+        T.StructField("parse_time_micro", T.LongType(), True),
+        T.StructField("oversize", T.BooleanType(), False),
         T.StructField("internal_paths", T.ArrayType(T.StringType()), True),
         T.StructField("external_domains", T.ArrayType(T.StringType()), True),
     ]
@@ -291,10 +349,24 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
             hops = pdf["n_redirects"].to_numpy(dtype=np.int64)
         else:
             fh, status, hops = resolve_redirects_np(uh, max_redirect)
+        # fetch-phase draws + caps (default.yaml:201-211): timeouts fire
+        # only on fetches that would otherwise succeed (an error status
+        # already ended the exchange); status timeout precedes the body
+        # read, which precedes the size check
+        st_ms, ld_ms, oversz, wait_ms, write_b = fetch_phase_np(fh, uh)
+        status = np.where(
+            (status == 200) & (st_ms >= STATUS_TIMEOUT_MS), STATUS_STATUS_TIMEOUT, status
+        )
+        status = np.where(
+            (status == 200) & (ld_ms >= LOAD_TIMEOUT_MS), STATUS_LOAD_TIMEOUT, status
+        )
         ok200 = status == 200
+        # response declared > max_response_size: read capped, task
+        # terminated before the parser (load_filters analog)
+        oversize = ok200 & oversz
         # F9 content-type admission: only image/* reaches the parser
         ct_ok = content_type_np(fh)
-        admit = ok200 & ct_ok
+        admit = ok200 & ct_ok & ~oversize
         if store_bc is not None:
             store = store_bc.value
             # pmod semantics, shared with the join mode (F.pmod on the
@@ -332,6 +404,14 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
             hs = phash64_batch(to_gray_32_batch(pxs))
             phash[idxs] = hs
             phash_ok[idxs] = hs == phash_stored[idxs]
+        # oversize reads are capped at the limit, then terminated
+        size[oversize] = MAX_RESPONSE_SIZE
+        parse_us = np.where(
+            admit,
+            size * 3
+            + ((fh.astype(np.uint64) >> np.uint64(11)) % np.uint64(500)).astype(np.int64),
+            0,
+        )
         ints, exts = derive_links_np(fh, phash)
         # final_url: synthesized Location of the last hop (same-domain
         # "/r{idx}" page); only ~4% of rows redirect, so the string
@@ -360,6 +440,12 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
                 "phash": phash,
                 "phash_ok": phash_ok,
                 "read_size_b": size,
+                "write_size_b": write_b,
+                "wait_time_ms": wait_ms.astype(np.int32),
+                "status_time_ms": st_ms.astype(np.int32),
+                "load_time_ms": ld_ms.astype(np.int32),
+                "parse_time_micro": parse_us,
+                "oversize": oversize,
                 "internal_paths": [i if o else [] for i, o in zip(ints, admit)],
                 "external_domains": [e if o else [] for e, o in zip(exts, admit)],
             }

@@ -22,7 +22,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# metrics_task (init.sql:26-53): one row per fetched page
+# metrics_task (init.sql:26-53): one row per fetched page, carrying the
+# full fetch-phase breakdown (write_size_b, wait/status/load_time_ms,
+# parse_time_micro — init.sql:43-52, types.rs:170-197) so the TX-rate
+# and parse-latency dashboard panels are answerable
 def task_metrics(parsed: DataFrame, epoch: int) -> DataFrame:
     return parsed.select(
         F.lit(epoch).cast("int").alias("epoch"),
@@ -30,10 +33,16 @@ def task_metrics(parsed: DataFrame, epoch: int) -> DataFrame:
         "url",
         "status",
         F.when(F.col("status") != 200, "error")
+        .when(F.col("oversize"), "oversize")
         .when(~F.col("content_type").startswith("image/"), "filtered")
         .otherwise("ok")
         .alias("term_by"),
         F.coalesce("read_size_b", F.lit(0)).alias("read_size_b"),
+        F.coalesce("write_size_b", F.lit(0)).alias("write_size_b"),
+        F.coalesce("wait_time_ms", F.lit(0)).alias("wait_time_ms"),
+        F.coalesce("status_time_ms", F.lit(0)).alias("status_time_ms"),
+        F.coalesce("load_time_ms", F.lit(0)).alias("load_time_ms"),
+        F.coalesce("parse_time_micro", F.lit(0)).alias("parse_time_micro"),
         F.coalesce("phash_ok", F.lit(False)).alias("payload_ok"),
     )
 
@@ -78,6 +87,29 @@ def pages_per_epoch(task_m: DataFrame) -> DataFrame:
     """pages/sec ok|error per epoch (crusty.json:1682)."""
     return task_m.groupBy("epoch", "term_by").agg(
         F.count("*").alias("pages"), F.sum("read_size_b").alias("rx_bytes")
+    )
+
+
+def tx_rx_per_epoch(task_m: DataFrame) -> DataFrame:
+    """RX/TX rate panel analog (crusty.json:1357 plots both directions
+    over read_size_b/write_size_b): bytes read and written per epoch."""
+    return task_m.groupBy("epoch").agg(
+        F.sum("read_size_b").alias("rx_bytes"),
+        F.sum("write_size_b").alias("tx_bytes"),
+        F.count("*").alias("pages"),
+    )
+
+
+def parse_time_stats(task_m: DataFrame) -> DataFrame:
+    """Parse-latency panel analog (over metrics_task.parse_time_micro,
+    init.sql:52): mean parse time per parsed page and per MB read."""
+    ok = task_m.filter(F.col("term_by") == "ok")
+    return ok.groupBy("epoch").agg(
+        F.round(F.avg("parse_time_micro"), 1).alias("avg_parse_micro"),
+        F.round(
+            F.sum("parse_time_micro") / (F.sum("read_size_b") / F.lit(1_000_000.0)), 1
+        ).alias("micro_per_mb"),
+        F.count("*").alias("parsed_pages"),
     )
 
 

@@ -21,8 +21,11 @@ from dataclasses import dataclass, field
 
 from .fetch import INTERNAL_PATHS as _INTERNAL_PATHS
 from .fetch import (  # noqa: F401
+    LOAD_TIMEOUT_MS,
+    STATUS_TIMEOUT_MS,
     py_content_ok,
     py_derive_links,
+    py_fetch_phase,
     py_resolve_redirects,
     py_status_of,
 )
@@ -239,6 +242,12 @@ class SimCrawler:
             # fetch.resolve_redirects_np does (rules.rs:79-86)
             final_hash, status, hops = py_resolve_redirects(t.url_hash, cfg.max_redirect)
             if status != 200:
+                continue
+            # fetch caps (default.yaml:201-211, fetch.py_fetch_phase):
+            # status/load timeouts and oversized responses terminate
+            # after the read, before the parser — no payload, no links
+            st_ms, ld_ms, oversz, _, _ = py_fetch_phase(final_hash, t.url_hash)
+            if st_ms >= STATUS_TIMEOUT_MS or ld_ms >= LOAD_TIMEOUT_MS or oversz:
                 continue
             # F9 content-type admission (fetch.py_content_ok): non-image
             # documents terminate after the read — no payload, no links

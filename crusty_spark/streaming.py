@@ -113,12 +113,21 @@ def streaming_token_bucket(
     rejected requests pass through flagged for re-queue, mirroring how
     the reference defers rather than drops.
 
-    State per domain is two doubles; admission depends ONLY on the
-    event-time order of the domain's requests, never on micro-batch
-    boundaries — which is what makes the exact-equality test against
-    the scalar twin (:func:`py_token_bucket`) possible. The per-group
-    loop runs over one domain's requests in a batch (bounded by the
-    domain's request rate), not per-row Python over the stream."""
+    State per domain is two doubles. Within a micro-batch, a domain's
+    requests are processed in (event-time, url_hash) order; for an
+    IN-EVENT-TIME-ORDER stream (events never arrive in a later batch
+    with an earlier timestamp than the persisted clock) admission is
+    therefore independent of micro-batch boundaries, which is what
+    makes the exact-equality test against the scalar twin
+    (:func:`py_token_bucket`) possible. A LATE event — one arriving
+    after the state clock has already advanced past its timestamp —
+    gets no retroactive refill and is judged against the advanced
+    clock (``last = max(last, ts)``), so out-of-order deployments
+    should not expect twin equality; buffer/watermark upstream if
+    event-time-exact admission under lateness is required. The
+    per-group loop runs over one domain's requests in a batch (bounded
+    by the domain's request rate), not per-row Python over the
+    stream."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

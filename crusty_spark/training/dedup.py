@@ -307,6 +307,16 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round: a component
+        # whose diameter exceeds max_iter would exit here with SPLIT
+        # clusters and no signal. Fail loudly instead — callers with
+        # genuinely long similarity chains should raise max_iter.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a similarity-chain "
+            "component is wider than max_iter hops; raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -340,7 +350,7 @@ def phash_near_dup(
     phash_col: str = "phash",
     max_hamming: int = 3,
     n_bands: int = 4,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = 4_000,
 ) -> DataFrame:
     """Image near-duplicates via banded 64-bit perceptual hash: split the
     phash into `n_bands` chunks; candidate pairs share at least one
@@ -394,7 +404,7 @@ def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.95,
     sign_bits: int = 16,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = 2_000,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH blocking (signature = signs of
     the first `sign_bits` dims) then exact cosine verify inside blocks.
@@ -404,9 +414,11 @@ def embedding_near_dup(
     non-uniform — the shared banded_candidate_pairs cap bounds a hot
     bucket at O(max_bucket^2) instead of quadratic. One bucket key per
     vector (unlike multi-band MinHash), so pairs need no downstream
-    dedup. Memory note: one grouped bucket holds <= max_bucket
-    (vec_id, embedding) structs — at dim 512 float64 that is ~40 MB
-    for the default cap; lower max_bucket for wider vectors."""
+    dedup. Memory note: one grouped bucket holds <= ~max_bucket
+    (vec_id, embedding) structs — this caller's default is tighter
+    than MinHash's (2,000 vs 10,000) because members carry the full
+    vector: ~8 MB per degenerate bucket at dim-512 float64 instead of
+    ~40 MB; lower it further for wider vectors."""
     from .similarity import sign_bucket
 
     e0 = emb.select(

@@ -67,6 +67,92 @@ def test_fetch_surface_has_redirect_columns(spark):
             assert r.internal_paths == [] and r.external_domains == []
 
 
+def test_fetch_phase_vector_matches_scalar_twin():
+    """fetch_phase_np vs py_fetch_phase bit parity (the simulator gates
+    on the scalar twin, the engine on the vector kernel)."""
+    from crusty_spark import fetch as FE
+    from crusty_spark.hashing import xxh64_long_np
+
+    uh = xxh64_long_np(np.arange(5000, dtype=np.int64)).view(np.int64)
+    fh = xxh64_long_np(uh, seed=9).view(np.int64)
+    st, ld, ov, wt, wr = FE.fetch_phase_np(fh, uh)
+    for i in range(0, len(uh), 13):
+        pst, pld, pov, pwt, pwr = FE.py_fetch_phase(int(fh[i]), int(uh[i]))
+        assert (int(st[i]), int(ld[i]), bool(ov[i]), int(wt[i]), int(wr[i])) == (
+            pst, pld, pov, pwt, pwr
+        ), (fh[i], uh[i])
+    # each cap actually trips at its designed rate (~2-3%)
+    assert 0 < (st >= FE.STATUS_TIMEOUT_MS).mean() < 0.06
+    assert 0 < (ld >= FE.LOAD_TIMEOUT_MS).mean() < 0.06
+    assert 0 < ov.mean() < 0.05
+
+
+def _hash_hitting(kind):
+    """Smallest url_hash whose fetch outcome is `kind` (via the scalar
+    twins — the same functions the simulator gates on)."""
+    from crusty_spark import fetch as FE
+
+    h = 1
+    while True:
+        fh, st, _ = FE.py_resolve_redirects(h)
+        if st == 200:
+            st_ms, ld_ms, oversz, _, _ = FE.py_fetch_phase(fh, h)
+            if st_ms >= FE.STATUS_TIMEOUT_MS:
+                k = "status_timeout"
+            elif ld_ms >= FE.LOAD_TIMEOUT_MS:
+                k = "load_timeout"
+            elif oversz:
+                k = "oversize"
+            elif FE.py_content_ok(fh):
+                k = "ok"
+            else:
+                k = "filtered"
+            if k == kind:
+                return h
+        h += 1
+
+
+def test_fetch_caps_terminate_before_parse(spark):
+    """max_response_size / status_timeout / load_timeout analogs
+    (conf/default.yaml:201-211): capped tasks are consumed but never
+    reach the parser — no payload, no links — and metrics_task labels
+    them (597/598 -> error, oversize -> oversize)."""
+    from crusty_spark import fetch as FE
+    from crusty_spark import metrics as M
+    from crusty_spark.fixtures import images_df
+
+    want = {k: _hash_hitting(k) for k in ("status_timeout", "load_timeout", "oversize", "ok")}
+    tasks = spark.createDataFrame(
+        [(f"http://cap{i}.com/p", int(uh), f"cap{i}.com", 0) for i, uh in enumerate(want.values())],
+        "url string, url_hash long, domain string, depth int",
+    )
+    images = images_df(spark, 32)
+    store = FE.payload_store(images)
+    parsed = FE.fetch_and_parse(tasks, images, 32, store_bc=store)
+    rows = {r.url_hash: r for r in parsed.collect()}
+
+    r = rows[want["status_timeout"]]
+    assert r.status == FE.STATUS_STATUS_TIMEOUT
+    assert r.image_id is None and r.phash_ok is False and r.internal_paths == []
+    r = rows[want["load_timeout"]]
+    assert r.status == FE.STATUS_LOAD_TIMEOUT
+    assert r.image_id is None and r.internal_paths == []
+    r = rows[want["oversize"]]
+    assert r.status == 200 and r.oversize
+    assert r.read_size_b == FE.MAX_RESPONSE_SIZE  # read capped at the limit
+    assert r.image_id is None and r.parse_time_micro == 0 and r.internal_paths == []
+    r = rows[want["ok"]]
+    assert not r.oversize and r.image_id is not None and r.parse_time_micro > 0
+    assert 160 <= r.write_size_b < 640 and 0 <= r.wait_time_ms < 200
+
+    terms = {r.domain: r.term_by for r in M.task_metrics(parsed, 1).collect()}
+    by_dom = {k: f"cap{i}.com" for i, k in enumerate(want)}
+    assert terms[by_dom["status_timeout"]] == "error"
+    assert terms[by_dom["load_timeout"]] == "error"
+    assert terms[by_dom["oversize"]] == "oversize"
+    assert terms[by_dom["ok"]] == "ok"
+
+
 def test_link_expansion_canonicalizes_href_forms(spark):
     """F2 wiring: raw hrefs in every emitted form (root-relative, bare,
     dot-relative) resolve against the page base to the SAME canonical
@@ -108,8 +194,16 @@ def test_content_type_admission(spark):
     store = FE.payload_store(images)
     parsed = FE.fetch_and_parse(tasks, images, 32, store_bc=store)
     rows = parsed.collect()
-    rejected = [r for r in rows if r.status == 200 and not r.content_type.startswith("image/")]
-    admitted = [r for r in rows if r.status == 200 and r.content_type.startswith("image/")]
+    rejected = [
+        r
+        for r in rows
+        if r.status == 200 and not r.oversize and not r.content_type.startswith("image/")
+    ]
+    admitted = [
+        r
+        for r in rows
+        if r.status == 200 and not r.oversize and r.content_type.startswith("image/")
+    ]
     assert rejected and admitted
     for r in rejected:
         assert r.image_id is None and r.internal_paths == [] and r.external_domains == []

@@ -65,6 +65,35 @@ def test_phash_cap_noop_below_bound(spark):
     assert capped == uncapped and len(capped) > 0
 
 
+def test_bucket_cap_bounds_collected_array(spark):
+    """The thinning stage must bound the per-bucket collect_list (the
+    grouped member array is the peak memory of the shared candidate
+    skeleton): with 5,000 members in ONE bucket and cap 2,000, the kept
+    set — and hence the generated pairs — stays ~cap-sized."""
+    bands = spark.range(5000).select(
+        F.struct(F.col("id").cast("long").alias("vec_id")).alias("m"),
+        F.lit(0).alias("sig"),
+    )
+    n_pairs = D.banded_candidate_pairs(bands, ["sig"], "m", "vec_id", 2000).count()
+    # kept ~ Binomial(5000, 1/keep_every=1/3): pairs ~ C(kept, 2)
+    assert (0.5 * 2000) ** 2 / 2 <= n_pairs <= (1.6 * 2000) ** 2 / 2
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    """Min-label propagation advances one hop per round: a similarity
+    chain longer than max_iter must raise, not silently return split
+    clusters (the DuckDB recursive-CTE oracle would diverge)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(chain, max_iter=3)
+    got = {r.cluster_id for r in D.dedup_clusters(chain, max_iter=15).collect()}
+    assert got == {0}
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """A chain 1~2, 2~3, 3~4 (no direct 1~4 pair) must collapse into
     ONE cluster labeled by the min id — the transitivity the raw pair
