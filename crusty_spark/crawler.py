@@ -99,6 +99,7 @@ class Crawler:
         cfg: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         payload_in_udf: bool | None = None,
+        robots_auto_extend: bool | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -116,6 +117,21 @@ class Crawler:
         self.store_bc = FE.payload_store(images) if payload_in_udf else None
         self.ckpt = checkpoint_dir
         self.robots = robots
+        # Auto-synthesis of robots rules for uncovered domains (the
+        # sandbox's distributed stand-in for fetching robots.txt,
+        # _extend_robots). Default: on iff `robots` was NOT supplied —
+        # a caller-provided table is authoritative as given, so a
+        # partial one is not silently completed with synthesized
+        # disallow/delay rules that could newly block or slow seed URLs
+        # (uncovered domains fall back to "no robots = allow" +
+        # default delay, fetch.robots_blocked_col). Pass True to opt a
+        # supplied table into completion, False to freeze even the
+        # synthesized default. NOTE: the flag is a constructor choice,
+        # not persisted state — a process that resume()s a crawl built
+        # with robots_auto_extend=False must pass it again.
+        if robots_auto_extend is None:
+            robots_auto_extend = robots is None
+        self.robots_auto_extend = robots_auto_extend
         self.tlds = tld_whitelist_df(spark)
         self.epoch = 0
         self.state: dict[str, DataFrame] = {}
@@ -176,8 +192,13 @@ class Crawler:
     def _extend_robots(self, new_domains: DataFrame) -> None:
         """Sandbox stand-in for fetching robots.txt of newly discovered
         domains (S6): rules are a deterministic function of the domain
-        (fixtures.robots_rules_for), synthesized batch-wise."""
+        (fixtures.robots_rules_for), synthesized batch-wise. No-op when
+        ``robots_auto_extend`` is off (caller-supplied tables are
+        authoritative as given; uncovered domains read as allow)."""
         import pandas as pd
+
+        if not self.robots_auto_extend:
+            return
 
         from .fixtures import ROBOTS_SCHEMA, robots_rules_for
 
@@ -259,13 +280,27 @@ class Crawler:
         return FR.FRONTIER_SCHEMA if name == "frontier_archive" else FR.JOB_STATE_SCHEMA
 
     def _archive_dirs(self, name: str, upto_epoch: int) -> list[str]:
+        """Dirs composing the logical archive as of ``upto_epoch``: the
+        newest compacted base (``base-e{M}`` = all deltas <= M folded
+        into one dir by compact_archives) plus every delta STRICTLY
+        newer than it. Dirs the newest base shadows (older bases,
+        deltas <= M) are crash leftovers of an interrupted compaction —
+        invisible here, swept by the next compact_archives call."""
         import glob
 
-        return [
+        base_dirs = sorted(
+            p
+            for p in glob.glob(os.path.join(self.ckpt, "archive", name, "base-e*"))
+            if int(os.path.basename(p)[6:]) <= upto_epoch
+        )
+        base = base_dirs[-1] if base_dirs else None
+        floor = int(os.path.basename(base)[6:]) if base else -1
+        deltas = [
             p
             for p in sorted(glob.glob(os.path.join(self.ckpt, "archive", name, "e*")))
-            if int(os.path.basename(p)[1:]) <= upto_epoch
+            if floor < int(os.path.basename(p)[1:]) <= upto_epoch
         ]
+        return ([base] if base else []) + deltas
 
     def _read_archive(self, name: str, upto_epoch: int) -> DataFrame:
         """The logical archive table = union of per-epoch delta appends
@@ -276,6 +311,64 @@ class Crawler:
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*dirs)
+
+    def compact_archives(self, keep_deltas: int = 8) -> None:
+        """Fold committed archive deltas older than the newest
+        ``keep_deltas`` into a single base dir per archive table (the
+        Iceberg rewrite_data_files analog). Without compaction,
+        ``_read_archive`` unions one parquet dir per finishing epoch
+        forever — scan fan-out grows with crawl age; with it the dir
+        count stays <= keep_deltas + 1. Cost: one rewrite bounded by
+        current archive size, amortized over the epochs between calls.
+
+        Crash-safe at every step: only deltas at or below the MANIFEST
+        epoch are folded (an uncommitted delta stays a delta for
+        resume() to drop); the new base is written to a temp dir and
+        renamed into place (the commit point — reads prefer the newest
+        base and ignore everything it shadows), and the shadowed dirs
+        are deleted after. An interruption anywhere leaves reads
+        correct; the next call sweeps the leftovers."""
+        import glob
+        import shutil
+
+        if keep_deltas < 0:
+            raise ValueError("keep_deltas must be >= 0")
+        try:
+            with open(os.path.join(self.ckpt, "manifest.json")) as f:
+                committed = json.load(f)["epoch"]
+        except FileNotFoundError:
+            return  # nothing committed yet
+        for name in self.ARCHIVE_TABLES:
+            adir = os.path.join(self.ckpt, "archive", name)
+            live = self._archive_dirs(name, committed)
+            # sweep dirs an earlier (possibly interrupted) compaction
+            # already shadowed: bases older than the newest base, and
+            # deltas at or below it
+            for p in glob.glob(os.path.join(adir, "base-e*")) + glob.glob(
+                os.path.join(adir, "e*")
+            ):
+                if p not in live and (
+                    p.startswith(os.path.join(adir, "base-e"))
+                    or int(os.path.basename(p)[1:]) <= committed
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+            bases = [p for p in live if os.path.basename(p).startswith("base-")]
+            deltas = [p for p in live if not os.path.basename(p).startswith("base-")]
+            if len(deltas) <= keep_deltas:
+                continue
+            fold = deltas[: len(deltas) - keep_deltas]
+            m = max(int(os.path.basename(p)[1:]) for p in fold)
+            union = self.spark.read.schema(self._archive_schema(name)).parquet(
+                *(bases + fold)
+            )
+            tmp = os.path.join(adir, f"_tmp-base-e{m:06d}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            union.write.mode("overwrite").parquet(tmp)
+            final = os.path.join(adir, f"base-e{m:06d}")
+            os.rename(tmp, final)  # commit point
+            for p in bases + fold:
+                shutil.rmtree(p, ignore_errors=True)
+            self.state[name] = self._read_archive(name, self.epoch)
 
     @staticmethod
     def _link_table(src: str, dst: str) -> None:
@@ -679,12 +772,15 @@ class Crawler:
         n_epochs: int,
         stop_when_idle: bool = True,
         prune_keep: int | None = None,
+        compact_keep: int | None = None,
     ) -> list[EpochStats]:
         out = []
         for _ in range(n_epochs):
             s = self.run_epoch()
             if prune_keep is not None:
                 self.prune_snapshots(prune_keep)
+            if compact_keep is not None:
+                self.compact_archives(compact_keep)
             out.append(s)
             if stop_when_idle and s.fetched == 0 and s.queued_after == 0:
                 break

@@ -47,11 +47,19 @@ class CrawlConfig:
     # wiring crusty.rs:550-560, scaling story README.md:42-58): enqueue
     # writes tasks into ALL shards 0..shard_total-1, but THIS engine
     # instance dequeues/finishes only shards in [shard_min, shard_max]
-    # (inclusive; shard_max=None means shard_total-1). N instances with
-    # disjoint scopes over shared state tables jointly produce exactly
-    # the single-engine schedule: addr_key -> shard is a function, so
+    # (shard_max=None means shard_total-1). N instances with disjoint
+    # scopes over shared state tables jointly produce exactly the
+    # single-engine schedule: addr_key -> shard is a function, so
     # politeness never crosses a scope boundary
     # (tests/test_crawler.py::test_scoped_shards_equal_single_engine).
+    # SEMANTIC DIFFERENCE from the reference: shard_max here is
+    # INCLUSIVE; the reference's is EXCLUSIVE (default.yaml:40-43:
+    # "shard_max: 2 ... effective scoped shards - 0, 1"). A crusty
+    # config ported verbatim must subtract 1 from shard_max (the
+    # reference's shard_min is inclusive like ours). Inclusive bounds
+    # were kept so shard_max=None == shard_total-1 reads naturally and
+    # existing configs stay stable; reference_config() documents the
+    # translation.
     shard_min: int = 0
     shard_max: int | None = None
     dequeue_limit: int = 10_000  # per-shard domains/epoch (default.yaml:83)
@@ -87,6 +95,14 @@ class CrawlConfig:
     # resolver.addr_ipv6_policy (config.rs:227-231, types.rs:22-40):
     # v4_single (legacy identity) | disabled | preferred | fallback
     addr_ipv6_policy: str = "v4_single"
+    # addr_key prefix masks in bits (conf/default.yaml:54-55, applied
+    # at types.rs:45-47): /mask of the selected address becomes the
+    # politeness bucket. v4 default 24 == the reference's. The v6
+    # default here is 64 (key = the full synthetic /64 prefix — the
+    # legacy-stable engine format); the reference defaults v6 to 24
+    # too, and reference_config() carries that.
+    addr_key_v4_mask: int = 24
+    addr_key_v6_mask: int = 64
     # resolver net blacklist (conf/default.yaml:246-247, types.rs:57-60):
     # CIDR nets; domains whose synthesized v4 identity falls inside any
     # are dropped at identity time. Empty by default (the reference's
@@ -135,6 +151,9 @@ class CrawlConfig:
             raise ValueError(
                 f"shard scope [{lo}, {hi}] must lie within [0, {self.shard_total - 1}]"
             )
+        # fail at construction, not first use (the mask helpers raise too)
+        U._v4_mask_int(self.addr_key_v4_mask)
+        U._v6_mask_int(self.addr_key_v6_mask)
 
     def shard_scope(self) -> tuple[int, int]:
         """Inclusive [shard_min, shard_max] range this engine instance
@@ -168,8 +187,14 @@ def reference_config(**overrides) -> CrawlConfig:
     - per-domain delay jitter on (default.yaml:203-206: delay_jitter 1s
       == 1.0 in delay units; the engine defaults to 0 so existing token
       rates stay stable)
+    - ``addr_key_v6_mask=24`` (default.yaml:55 masks v6 to /24 as
+      well; the engine defaults to 64 — the full synthetic /64 prefix —
+      so existing v6 addr_keys stay stable)
 
-    Everything else already mirrors conf/default.yaml.
+    Everything else already mirrors conf/default.yaml. NOTE when
+    porting scoped shards: this engine's ``shard_max`` is INCLUSIVE
+    while the reference's is EXCLUSIVE (default.yaml:40-43) — pass
+    ``shard_max = crusty_shard_max - 1``.
     """
     base: dict = dict(
         addr_ipv6_policy="fallback",
@@ -177,6 +202,7 @@ def reference_config(**overrides) -> CrawlConfig:
         job_hard_timeout_epochs=5,
         job_hard_timeout_jitter_epochs=1,
         delay_jitter=1.0,
+        addr_key_v6_mask=24,
     )
     base.update(overrides)
     return CrawlConfig(**base)
@@ -244,7 +270,11 @@ def identity_for_urls(urls: DataFrame, cfg: CrawlConfig, depth_col=None) -> Data
     (reference skips them at crusty.rs:498-507) and domains the address
     policy resolves to nothing (types.rs:57-60)."""
     df = U.with_frontier_identity(
-        urls, shard_total=cfg.shard_total, addr_policy=cfg.addr_ipv6_policy
+        urls,
+        shard_total=cfg.shard_total,
+        addr_policy=cfg.addr_ipv6_policy,
+        v4_mask=cfg.addr_key_v4_mask,
+        v6_mask=cfg.addr_key_v6_mask,
     )
     df = df.filter(F.col("domain").isNotNull() & F.col("addr_key").isNotNull())
     if cfg.net_v4_blacklist:
@@ -511,9 +541,22 @@ def finish_domains(
     the hard job timeout + per-domain jitter (default.yaml:215-217 —
     the force-kill for jobs the soft timeout couldn't drain; jitter is
     hash-derived so a fleet of stuck jobs doesn't retire in lockstep).
-    Returns (domain, shard, pages_crawled) rows; the caller releases
-    leases, marks job_state finished, and commits the domain to the
-    seen Bloom (J6)."""
+    Returns (domain, shard, pages_crawled, term_by, duration_epochs)
+    rows; the caller releases leases, marks job_state finished, and
+    commits the domain to the seen Bloom (J6).
+
+    ``term_by`` is WHY the job ended — the reference's metrics_job
+    attribution (infra/clickhouse/init.sql:55-63, row mapper
+    workspace/main/src/types.rs:330-361, where timeouts label the row
+    and every normal completion is "Ok"). Here the two normal paths
+    are named for the dashboard: ``drained`` (no queued URLs remain —
+    the job completed its work), ``page_budget`` (TotalPageBudget cap
+    hit with work still queued), ``hard_timeout`` (neither — only the
+    timeout disjunct fired). Precedence drained > page_budget mirrors
+    the reference's Ok-before-error mapping; hard_timeout by
+    construction labels only force-kills. ``duration_epochs`` is the
+    lease age at finish — the epoch-cadence analog of the reference's
+    ``duration_sec`` (elapsed since queued, types.rs:357)."""
     queued_counts = (
         frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
         .groupBy("domain")
@@ -536,4 +579,18 @@ def finish_domains(
         .withColumn("n_queued", F.coalesce("n_queued", F.lit(0)))
         .filter(is_done)
     )
-    return done.select("domain", "shard", F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"))
+    term_by = (
+        F.when(F.col("n_queued") == 0, F.lit("drained"))
+        .when(
+            F.coalesce("pages_crawled", F.lit(0)) >= cfg.page_budget,
+            F.lit("page_budget"),
+        )
+        .otherwise(F.lit("hard_timeout"))
+    )
+    return done.select(
+        "domain",
+        "shard",
+        F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"),
+        term_by.alias("term_by"),
+        (F.lit(epoch) - F.col("lease_epoch")).cast("int").alias("duration_epochs"),
+    )

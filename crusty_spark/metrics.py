@@ -47,13 +47,19 @@ def task_metrics(parsed: DataFrame, epoch: int) -> DataFrame:
     )
 
 
-# metrics_job (init.sql:55-63): one row per finished domain
+# metrics_job (init.sql:55-63): one row per finished domain, carrying
+# WHY it ended (term_by — types.rs:330-361 labels timeouts vs "Ok")
+# and the lease age at finish (duration_epochs — the epoch-cadence
+# analog of duration_sec, types.rs:357), so the dashboard can split
+# drained vs page_budget vs hard_timeout completions
 def job_metrics(done: DataFrame, epoch: int) -> DataFrame:
     return done.select(
         F.lit(epoch).cast("int").alias("epoch"),
         "domain",
         "shard",
         F.col("pages_crawled"),
+        "term_by",
+        "duration_epochs",
     )
 
 
@@ -110,6 +116,19 @@ def parse_time_stats(task_m: DataFrame) -> DataFrame:
             F.sum("parse_time_micro") / (F.sum("read_size_b") / F.lit(1_000_000.0)), 1
         ).alias("micro_per_mb"),
         F.count("*").alias("parsed_pages"),
+    )
+
+
+def job_finish_breakdown(job_m: DataFrame) -> DataFrame:
+    """Finish-attribution panel analog (metrics_job.term_by,
+    init.sql:55-63): how many jobs ended each way per epoch, with the
+    mean lease age at finish — a dashboard reading this distinguishes
+    a healthy crawl (drained/page_budget) from one force-killing stuck
+    jobs (hard_timeout)."""
+    return job_m.groupBy("epoch", "term_by").agg(
+        F.count("*").alias("jobs"),
+        F.round(F.avg("duration_epochs"), 2).alias("avg_duration_epochs"),
+        F.sum("pages_crawled").alias("pages"),
     )
 
 

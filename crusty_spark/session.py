@@ -50,6 +50,51 @@ def ship_package_zip(spark: SparkSession) -> str:
     return path
 
 
+def local_scratch_root() -> str:
+    """Per-USER tmpfs scratch root for spark.local.dir — the uid in the
+    path means no two users' Spark dirs ever share a parent, so scratch
+    cleanup can never race another user's live JVM."""
+    return f"/dev/shm/crusty-spark-local-{os.getuid()}"
+
+
+def local_scratch_dir() -> str:
+    """Per-PROCESS scratch dir: {root}/{pid}. A crashed JVM leaves its
+    dir behind (tmpfs = RAM), but the owning pid is in the name, so
+    ``cleanup_stale_scratch`` can safely reap exactly the dirs whose
+    process is gone — no pgrep pattern-match, no TOCTOU against a JVM
+    that starts mid-cleanup."""
+    return os.path.join(local_scratch_root(), str(os.getpid()))
+
+
+def cleanup_stale_scratch() -> list[str]:
+    """Remove scratch dirs under this user's root whose owning process
+    no longer exists. Only ever touches dirs this module created (the
+    uid-scoped root), and only those whose pid is dead — a live pid's
+    dir is left alone even if that process isn't Spark."""
+    root = local_scratch_root()
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if not entry.isdigit() or not os.path.isdir(path):
+            continue
+        pid = int(entry)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:
+            alive = True  # exists, owned by someone else somehow: keep
+        if not alive:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def get_spark(
     app: str = "crusty_spark",
     parallelism: int | None = None,
@@ -90,7 +135,7 @@ def get_spark(
     # path, at which point compression is pure CPU overhead
     if os.path.isdir("/dev/shm"):
         b = (
-            b.config("spark.local.dir", "/dev/shm/crusty-spark-local")
+            b.config("spark.local.dir", local_scratch_dir())
             .config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")
         )

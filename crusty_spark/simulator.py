@@ -122,7 +122,12 @@ class SimCrawler:
         key = (domain, uh)
         if key in self.tasks:
             return
-        ak = py_addr_key_policy(domain, self.cfg.addr_ipv6_policy)
+        ak = py_addr_key_policy(
+            domain,
+            self.cfg.addr_ipv6_policy,
+            self.cfg.addr_key_v4_mask,
+            self.cfg.addr_key_v6_mask,
+        )
         if ak is None:  # address policy resolved nothing: drop (types.rs:57-60)
             return
         # resolver net blacklist (default.yaml:246-247): drop domains
@@ -314,7 +319,15 @@ class SimCrawler:
         for e in external_cands:
             if e in frontier_domains or e in self.seen:
                 continue
-            if py_addr_key_policy(e, cfg.addr_ipv6_policy) is None:
+            if (
+                py_addr_key_policy(
+                    e,
+                    cfg.addr_ipv6_policy,
+                    cfg.addr_key_v4_mask,
+                    cfg.addr_key_v6_mask,
+                )
+                is None
+            ):
                 continue
             if cfg.net_v4_blacklist and py_ip_blacklisted(e, cfg.net_v4_blacklist):
                 continue

@@ -282,7 +282,15 @@ def dedup_clusters(
     per-round localCheckpoint truncates the otherwise-exponential
     iterative lineage, and the driver-side convergence count is the
     standard fixpoint check every iterative DataFrame algorithm needs
-    (one tiny action per round, not a collect of the data)."""
+    (one tiny action per round, not a collect of the data).
+
+    ``max_iter`` must be >= 1, and convergence is only ACCEPTED on a
+    round that observes zero label changes — so max_iter must exceed
+    the widest component's diameter by one confirming round, or the
+    call raises even though the last propagation round happened to
+    land the final labels."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -85,10 +85,30 @@ def synth_ip32_of(domain: Column) -> Column:
     return F.shiftrightunsigned(F.shiftleft(h, 32), 32)  # low 32 bits, zero-extended
 
 
-def addr_key_of(domain: Column) -> Column:
-    """base64 of the 4 octets of the /24-masked synthetic IP
-    (types.rs:42-55; mask 0xffffff00 per conf/default.yaml:54)."""
-    masked = synth_ip32_of(domain).bitwiseAND(F.lit(0xFFFFFF00))
+def _v4_mask_int(bits: int) -> int:
+    """/bits prefix mask as a u32 (types.rs:45-46 Ipv4Network masking)."""
+    if not 0 < bits <= 32:
+        raise ValueError(f"addr_key_v4_mask must be in 1..32, got {bits}")
+    return (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF
+
+
+def _v6_mask_int(bits: int) -> int:
+    """/bits prefix mask over the synthetic v6 /64 prefix, as a SIGNED
+    i64 (Spark long). The engine's synthetic v6 address is the top 64
+    bits of the reference's 128-bit address (types.rs:47 masks the full
+    address; any mask <= 64 is expressible here — the reference default
+    is 24, conf/default.yaml:55)."""
+    if not 0 < bits <= 64:
+        raise ValueError(f"addr_key_v6_mask must be in 1..64, got {bits}")
+    u = ((1 << 64) - 1) ^ ((1 << (64 - bits)) - 1)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def addr_key_of(domain: Column, v4_mask: int = 24) -> Column:
+    """base64 of the 4 octets of the /v4_mask-masked synthetic IP
+    (types.rs:42-55; addr_key_v4_mask per conf/default.yaml:54 — /24
+    default: first 24 bits significant, last 8 masked)."""
+    masked = synth_ip32_of(domain).bitwiseAND(F.lit(_v4_mask_int(v4_mask)))
     key = F.base64(F.unhex(F.lpad(F.hex(masked), 8, "0")))
     # xxhash64(NULL) yields the seed, which would silently herd every
     # malformed URL into one politeness bucket — keep NULL domains NULL.
@@ -132,14 +152,22 @@ def synth_addrs(domain: Column) -> Column:
     return F.struct(v4s.alias("v4s"), v6.alias("v6"))
 
 
-def addr_key_policy(domain: Column, policy: str = "v4_single") -> Column:
+def addr_key_policy(
+    domain: Column,
+    policy: str = "v4_single",
+    v4_mask: int = 24,
+    v6_mask: int = 64,
+) -> Column:
     """addr_key under an address-selection policy. v4 keys are base64 of
-    the 4 /24-masked octets (legacy format); v6 keys are base64 of the
-    8-byte /64 prefix — different lengths, so the key spaces never
-    collide. NULL when the policy selects no address (domain dropped,
-    types.rs:57-60)."""
+    the 4 masked octets (legacy format); v6 keys are base64 of the
+    masked 8-byte /64 prefix — different lengths, so the key spaces
+    never collide. Masks are the configurable addr_key_v4_mask /
+    addr_key_v6_mask (conf/default.yaml:54-55, applied at
+    types.rs:45-47); the engine's v6 default of 64 keeps legacy keys
+    stable — reference_config carries the reference's 24. NULL when the
+    policy selects no address (domain dropped, types.rs:57-60)."""
     if policy == "v4_single":
-        return addr_key_of(domain)
+        return addr_key_of(domain, v4_mask)
     if policy not in ADDR_POLICIES:
         raise ValueError(f"unknown addr policy {policy!r}")
     a = synth_addrs(domain)
@@ -154,9 +182,11 @@ def addr_key_policy(domain: Column, policy: str = "v4_single") -> Column:
         sel_v4 = v4_first
         sel_v6 = F.when(v4_first.isNull(), v6)
     v4_key = F.base64(
-        F.unhex(F.lpad(F.hex(sel_v4.bitwiseAND(F.lit(0xFFFFFF00))), 8, "0"))
+        F.unhex(F.lpad(F.hex(sel_v4.bitwiseAND(F.lit(_v4_mask_int(v4_mask)))), 8, "0"))
     )
-    v6_key = F.base64(F.unhex(F.lpad(F.hex(sel_v6), 16, "0")))
+    v6_key = F.base64(
+        F.unhex(F.lpad(F.hex(sel_v6.bitwiseAND(F.lit(_v6_mask_int(v6_mask)))), 16, "0"))
+    )
     key = F.when(sel_v6.isNotNull(), v6_key).otherwise(v4_key)
     return F.when(domain.isNotNull(), key)
 
@@ -206,6 +236,8 @@ def with_frontier_identity(
     url_col: str = "url",
     shard_total: int = DEFAULT_SHARD_TOTAL,
     addr_policy: str = "v4_single",
+    v4_mask: int = 24,
+    v6_mask: int = 64,
 ):
     """url -> + (url_hash, domain, tld, addr_key, shard). One projection,
     all JVM-side; Catalyst folds the shared subexpressions. addr_key is
@@ -217,7 +249,9 @@ def with_frontier_identity(
         df.withColumn("url_hash", url_hash_of(u))
         .withColumn("domain", domain)
         .withColumn("tld", tld_of(F.col("domain")))
-        .withColumn("addr_key", addr_key_policy(F.col("domain"), addr_policy))
+        .withColumn(
+            "addr_key", addr_key_policy(F.col("domain"), addr_policy, v4_mask, v6_mask)
+        )
         .withColumn("shard", shard_of_col(F.col("addr_key"), shard_total))
     )
 
@@ -325,8 +359,8 @@ def py_synth_ip32(domain: str) -> int:
     return xxh64(domain.encode("utf-8")) & 0xFFFFFFFF
 
 
-def py_addr_key_of(domain: str) -> str:
-    masked = py_synth_ip32(domain) & 0xFFFFFF00
+def py_addr_key_of(domain: str, v4_mask: int = 24) -> str:
+    masked = py_synth_ip32(domain) & _v4_mask_int(v4_mask)
     return base64.b64encode(masked.to_bytes(4, "big")).decode("ascii")
 
 
@@ -342,10 +376,12 @@ def py_synth_addrs(domain: str) -> tuple[list[int], int | None]:
     return v4s, v6
 
 
-def py_addr_key_policy(domain: str, policy: str = "v4_single") -> str | None:
+def py_addr_key_policy(
+    domain: str, policy: str = "v4_single", v4_mask: int = 24, v6_mask: int = 64
+) -> str | None:
     """Scalar twin of addr_key_policy."""
     if policy == "v4_single":
-        return py_addr_key_of(domain)
+        return py_addr_key_of(domain, v4_mask)
     v4s, v6 = py_synth_addrs(domain)
     v4 = v4s[0] if v4s else None
     if policy == "disabled":
@@ -357,9 +393,12 @@ def py_addr_key_policy(domain: str, policy: str = "v4_single") -> str | None:
     else:
         raise ValueError(f"unknown addr policy {policy!r}")
     if sel_v6 is not None:
-        return base64.b64encode((sel_v6 & ((1 << 64) - 1)).to_bytes(8, "big")).decode("ascii")
+        masked6 = sel_v6 & ((1 << 64) - 1) & (_v6_mask_int(v6_mask) & ((1 << 64) - 1))
+        return base64.b64encode(masked6.to_bytes(8, "big")).decode("ascii")
     if sel_v4 is not None:
-        return base64.b64encode((sel_v4 & 0xFFFFFF00).to_bytes(4, "big")).decode("ascii")
+        return base64.b64encode(
+            (sel_v4 & _v4_mask_int(v4_mask)).to_bytes(4, "big")
+        ).decode("ascii")
     return None
 
 

@@ -3,6 +3,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from crusty_spark import metrics as M
 from crusty_spark.crawler import Crawler
 from crusty_spark.fixtures import images_df, seed_urls
 from crusty_spark.frontier import CrawlConfig
@@ -275,6 +276,57 @@ def test_hard_timeout_drains_endless_domain(spark, tmp_path):
     assert js["endless0.com"].pages_crawled <= cfgd.domain_concurrency * (
         cfgd.job_hard_timeout_epochs + 1
     )
+    # metrics_job attribution (init.sql:55-63 / types.rs:330-361): the
+    # force-kill is labeled hard_timeout, at lease age >= the timeout
+    jm = M.read_metrics(spark, str(tmp_path / "ckpt_drain"), "metrics_job").collect()
+    (row,) = [r for r in jm if r.domain == "endless0.com"]
+    assert row.term_by == "hard_timeout"
+    assert row.duration_epochs >= cfgd.job_hard_timeout_epochs
+
+
+def test_caller_supplied_robots_not_auto_extended(spark, tmp_path):
+    """A caller-provided robots table is authoritative as given:
+    seed() must NOT append synthesized rules for uncovered seed
+    domains (they read as allow + default delay), unless the caller
+    opts in with robots_auto_extend=True. Default construction
+    (robots=None) keeps the synthesized stand-in."""
+    from crusty_spark.fixtures import robots_df
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=5,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    seeds = [f"http://site{k}.com/" for k in range(6)]
+    covered = ["site0.com"]  # robots for one of the six seed domains
+    images = images_df(spark, 32).cache()
+
+    partial = robots_df(spark, covered)
+    c = Crawler(spark, images, 32, str(tmp_path / "ck_frozen"), cfg=cfg, robots=partial)
+    assert c.robots_auto_extend is False
+    c.init_empty()
+    c.seed(seeds)
+    assert {r.domain for r in c.robots.select("domain").collect()} == set(covered)
+    # uncovered seeds are admitted unblocked (no robots = allow)
+    fr = c.state["frontier"].collect()
+    assert {r.domain for r in fr} >= {"site1.com", "site2.com"}
+    assert not any(r.blocked for r in fr if r.domain != "site0.com")
+
+    opted = Crawler(
+        spark, images, 32, str(tmp_path / "ck_opted"), cfg=cfg,
+        robots=robots_df(spark, covered), robots_auto_extend=True,
+    )
+    opted.init_empty()
+    opted.seed(seeds)
+    assert {r.domain for r in opted.robots.select("domain").collect()} >= {
+        "site0.com", "site1.com", "site5.com",
+    }
+
+    default = Crawler(spark, images, 32, str(tmp_path / "ck_default"), cfg=cfg)
+    assert default.robots_auto_extend is True
+    default.init_empty()
+    default.seed(seeds)
+    assert default.robots.count() >= 6
 
 
 def test_finished_domains_leave_hot_frontier(spark, tmp_path):
@@ -536,6 +588,92 @@ def test_archive_writes_are_per_epoch_deltas(spark, tmp_path):
     for d2 in glob.glob(os.path.join(ck, "epoch=*")):
         assert not os.path.isdir(os.path.join(d2, "frontier_archive"))
         assert not os.path.isdir(os.path.join(d2, "job_state_archive"))
+
+
+def test_archive_compaction_bounds_dirs_and_preserves_contents(spark, tmp_path):
+    """compact_archives (Iceberg rewrite_data_files analog): folding
+    committed deltas into a base keeps the per-table dir count
+    <= keep_deltas + 1 across many finishing epochs, never changes the
+    logical archive (row-set equality vs an uncompacted twin), and
+    resume still works from the compacted layout."""
+    import glob
+    import os
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=2,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+    )
+    keep = 1
+    images = images_df(spark, N_IMAGES).cache()
+    ck = str(tmp_path / "ckpt_compact")
+    ck2 = str(tmp_path / "ckpt_plain")
+    c = Crawler(spark, images, N_IMAGES, ck, cfg=cfg)
+    plain = Crawler(spark, images, N_IMAGES, ck2, cfg=cfg)
+    for x in (c, plain):
+        x.init_empty()
+        x.seed(seed_urls(10))
+    n_finishing = 0
+    for _ in range(5):
+        s = c.run(1, stop_when_idle=False, compact_keep=keep)[0]
+        plain.run(1, stop_when_idle=False)
+        n_finishing += s.finished > 0
+        for name in Crawler.ARCHIVE_TABLES:
+            adir = os.path.join(ck, "archive", name)
+            n_dirs = len(glob.glob(os.path.join(adir, "base-e*"))) + len(
+                glob.glob(os.path.join(adir, "e*"))
+            )
+            assert n_dirs <= keep + 1, (name, sorted(os.listdir(adir)))
+    assert n_finishing >= 3, "fixture must exercise several compactions"
+    # logical archives equal the uncompacted twin's, row for row
+    for name in Crawler.ARCHIVE_TABLES:
+        got = {tuple(r) for r in c.state[name].collect()}
+        want = {tuple(r) for r in plain.state[name].collect()}
+        assert got == want, name
+    # a fresh process resumes from the compacted layout
+    c2 = Crawler(spark, images, N_IMAGES, ck, cfg=cfg)
+    c2.resume()
+    assert c2.epoch == 5
+    assert c2.state["frontier_archive"].count() == plain.state["frontier_archive"].count()
+    c2.run(1, stop_when_idle=False)
+    assert c2.epoch == 6
+
+
+def test_compact_archives_sweeps_interrupted_leftovers(spark, tmp_path):
+    """Crash rule: a compaction interrupted after the base rename but
+    before the shadowed-dir deletes leaves duplicates ON DISK but never
+    in reads (the newest base shadows them); the next compact_archives
+    call sweeps them."""
+    import glob
+    import os
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=2,
+        seen_capacity=5000, seen_err=1e-6, salt_buckets=4,
+    )
+    images = images_df(spark, N_IMAGES).cache()
+    ck = str(tmp_path / "ckpt_crash")
+    c = Crawler(spark, images, N_IMAGES, ck, cfg=cfg)
+    c.init_empty()
+    c.seed(seed_urls(10))
+    c.run(4, stop_when_idle=False)
+    name = "job_state_archive"
+    adir = os.path.join(ck, "archive", name)
+    deltas = sorted(glob.glob(os.path.join(adir, "e*")))
+    assert len(deltas) >= 2
+    before = {tuple(r) for r in c.state[name].collect()}
+    # simulate the interrupted compaction: base written + renamed, but
+    # the folded delta dirs were never deleted
+    m = max(int(os.path.basename(p)[1:]) for p in deltas)
+    c.spark.read.schema(c._archive_schema(name)).parquet(*deltas).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(adir, f"base-e{m:06d}"))
+    # reads ignore the shadowed deltas (no double-counting)
+    assert {tuple(r) for r in c._read_archive(name, c.epoch).collect()} == before
+    c.compact_archives(keep_deltas=8)
+    assert sorted(glob.glob(os.path.join(adir, "e*"))) == []
+    assert {tuple(r) for r in c._read_archive(name, c.epoch).collect()} == before
 
 
 def test_snapshot_pruning_keeps_resumability(spark, tmp_path):

@@ -42,6 +42,25 @@ def test_metrics_job_rows_match_finished(spark, crawled):
         assert per_epoch.get(s.epoch, 0) == s.finished
 
 
+def test_job_finish_attribution(spark, crawled):
+    """metrics_job carries term_by + duration_epochs (init.sql:55-63,
+    types.rs:330-361): every finish is attributed, and with no job
+    timeouts configured every path is a normal completion. The
+    breakdown aggregate reconciles with the crawl's finish counts."""
+    c, stats, ckpt = crawled
+    jm = M.read_metrics(spark, ckpt, "metrics_job")
+    rows = jm.collect()
+    assert rows
+    assert all(r.term_by in ("drained", "page_budget") for r in rows)
+    assert all(r.duration_epochs >= 0 for r in rows)
+    # the 5-page budget with endless-ish fixtures must exercise both
+    # normal paths, or the attribution test is vacuous
+    assert {r.term_by for r in rows} == {"drained", "page_budget"}
+    bd = M.job_finish_breakdown(jm).collect()
+    assert sum(r.jobs for r in bd) == sum(s.finished for s in stats)
+    assert all(r.avg_duration_epochs >= 0 for r in bd)
+
+
 def test_dashboard_aggregates(spark, crawled):
     c, stats, ckpt = crawled
     pages = M.pages_per_epoch(M.read_metrics(spark, ckpt, "metrics_task"))

@@ -92,6 +92,10 @@ def test_dedup_clusters_raises_when_not_converged(spark):
         D.dedup_clusters(chain, max_iter=3)
     got = {r.cluster_id for r in D.dedup_clusters(chain, max_iter=15).collect()}
     assert got == {0}
+    # max_iter=0 is rejected up front (it could neither propagate nor
+    # confirm convergence — previously a NameError in the raise path)
+    with pytest.raises(ValueError, match="max_iter"):
+        D.dedup_clusters(chain, max_iter=0)
 
 
 def test_dedup_clusters_transitive_chain(spark):

@@ -198,6 +198,81 @@ def test_addr_policy_parity_and_invariants(spark):
     assert n_dropped > 0 and n_v6 > 0  # both branches actually exercised
 
 
+def test_addr_key_masks_parity_and_semantics(spark):
+    """Configurable addr_key_v4_mask/v6_mask (conf/default.yaml:54-55,
+    applied at types.rs:45-47): JVM == scalar twin at non-default
+    masks, a wider mask merges buckets (monotone coarsening), and the
+    reference's v6 /24 default is expressible."""
+    from pyspark.sql import functions as F
+
+    from crusty_spark.urls import (
+        addr_key_policy,
+        py_addr_key_policy,
+        py_synth_addrs,
+    )
+
+    domains = [f"m{i}.example{i % 5}.net" for i in range(200)]
+    df = spark.createDataFrame([(d,) for d in domains], ["domain"])
+    cases = [("v4_single", 16, 64), ("fallback", 16, 24), ("preferred", 8, 40)]
+    sel = df.select(
+        "domain",
+        *[
+            addr_key_policy(F.col("domain"), p, v4, v6).alias(f"k{i}")
+            for i, (p, v4, v6) in enumerate(cases)
+        ],
+    )
+    n_v6 = 0
+    for r in sel.collect():
+        for i, (p, v4, v6) in enumerate(cases):
+            assert getattr(r, f"k{i}") == py_addr_key_policy(r.domain, p, v4, v6), (
+                r.domain, p, v4, v6,
+            )
+        if py_synth_addrs(r.domain)[1] is not None:
+            n_v6 += 1
+    assert n_v6 > 0  # the v6 mask branch was actually exercised
+    # coarsening: /8 buckets are unions of /24 buckets — same /24 key
+    # implies same /8 key; and 200 domains over 256 /8s must collide,
+    # so strictly fewer distinct buckets at the wider mask
+    k24 = {d: py_addr_key_policy(d, "v4_single", 24) for d in domains}
+    k8 = {d: py_addr_key_policy(d, "v4_single", 8) for d in domains}
+    by24: dict = {}
+    for d in domains:
+        by24.setdefault(k24[d], set()).add(k8[d])
+    assert all(len(v) == 1 for v in by24.values())
+    assert len(set(k8.values())) < len(set(k24.values()))
+
+
+def test_crawl_equality_under_nondefault_masks(spark, tmp_path):
+    """Engine vs simulator with addr_key_v4_mask=16 and the reference's
+    v6 /24 under fallback policy: coarser politeness buckets change the
+    schedule, and both implementations must change identically."""
+    from crusty_spark.crawler import Crawler
+    from crusty_spark.fixtures import images_df, seed_urls
+    from crusty_spark.frontier import CrawlConfig
+    from crusty_spark.simulator import SimCrawler
+
+    cfg = CrawlConfig(
+        shard_total=4, dequeue_limit=50, domain_concurrency=2,
+        lease_ttl_epochs=5, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        addr_ipv6_policy="fallback", addr_key_v4_mask=16, addr_key_v6_mask=24,
+    )
+    seeds = seed_urls(10)
+    images = images_df(spark, 32).cache()
+    c = Crawler(spark, images, 32, str(tmp_path / "ckpt_mask"), cfg=cfg)
+    c.init_empty()
+    c.seed(seeds)
+    stats = c.run(2, stop_when_idle=False)
+    s = SimCrawler(32, cfg=cfg)
+    s.seed(seeds)
+    sim_stats = s.run(2)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.finished) == (
+            want["dequeued"], want["fetched"], want["finished"]
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
+
+
 def test_crawl_equality_under_fallback_policy(spark, tmp_path):
     """Engine vs simulator with addr_ipv6_policy='fallback': the
     politeness bucketing changes (v6 /64 keys, dropped unresolvable
