@@ -95,6 +95,19 @@ class CrawlConfig:
     # resolver.addr_ipv6_policy (config.rs:227-231, types.rs:22-40):
     # v4_single (legacy identity) | disabled | preferred | fallback
     addr_ipv6_policy: str = "v4_single"
+    # reader.shard_min_last_read analog (conf/default.yaml:100-104:
+    # "do not ask the same shard for jobs unless duration has passed
+    # since last time"). In the epoch model the epoch IS the read
+    # cadence, so this is a multiplier in epochs: with k, shard s is
+    # dequeued only at epochs where epoch % k == s % k — each shard is
+    # read exactly every k-th epoch and the reads stagger round-robin
+    # across shards (smoothing queue-storage load, which is the
+    # reference knob's purpose). 1 (the default, == the reference's 1 s
+    # at its ~1 s permit cadence) reads every shard every epoch.
+    # Deterministic and stateless, so engine/simulator stay exactly
+    # equal; enqueue/finish are unaffected (the reference throttles
+    # only the reader).
+    shard_min_last_read_epochs: int = 1
     # addr_key prefix masks in bits (conf/default.yaml:54-55, applied
     # at types.rs:45-47): /mask of the selected address becomes the
     # politeness bucket. v4 default 24 == the reference's. The v6
@@ -357,6 +370,13 @@ def dequeue(
         # shard-partitioned snapshot the predicate prunes at file level
         lo, hi = cfg.shard_scope()
         queued = queued.filter(F.col("shard").between(F.lit(lo), F.lit(hi)))
+    if cfg.shard_min_last_read_epochs > 1:
+        # reader.shard_min_last_read (default.yaml:100-104): shard s is
+        # read only every k-th epoch, staggered round-robin; a pure
+        # function of (epoch, shard), so it prunes partitions on a
+        # shard-partitioned snapshot just like the scope filter
+        k = F.lit(cfg.shard_min_last_read_epochs)
+        queued = queued.filter(F.pmod(F.lit(epoch), k) == F.pmod(F.col("shard"), k))
     # domain-level candidates. When the frontier table is partitioned by
     # domain (the engine keeps it that way — see Crawler/bench), this
     # aggregation needs NO exchange: hash-partitioning on `domain` is a

@@ -175,6 +175,10 @@ class SimCrawler:
                 continue
             if not (scope_lo <= t.shard <= scope_hi):
                 continue
+            # reader.shard_min_last_read analog: shard read cadence
+            k = cfg.shard_min_last_read_epochs
+            if k > 1 and epoch % k != t.shard % k:
+                continue
             j = self.jobs.get(t.domain)
             if j and j.finished:
                 continue

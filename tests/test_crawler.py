@@ -544,6 +544,98 @@ def test_scoped_shards_equal_single_engine(spark, tmp_path):
     assert got_seen == s.seen
 
 
+def test_shard_read_cadence_equality_and_staggering(spark, tmp_path):
+    """reader.shard_min_last_read analog (default.yaml:100-104): with
+    shard_min_last_read_epochs=2 each shard is dequeued only every 2nd
+    epoch (staggered by shard parity), engine == simulator exactly,
+    and every lease ever taken respects the cadence rule."""
+    cfgk = CrawlConfig(
+        shard_total=4, dequeue_limit=100, domain_concurrency=2,
+        lease_ttl_epochs=10, max_depth=3, page_budget=4,
+        seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+        shard_min_last_read_epochs=2,
+    )
+    seeds = seed_urls(12)
+    images = images_df(spark, N_IMAGES).cache()
+    c = Crawler(spark, images, N_IMAGES, str(tmp_path / "ckpt_cadence"), cfg=cfgk)
+    c.init_empty()
+    c.seed(seeds)
+    stats = c.run(4, stop_when_idle=False)
+    s = SimCrawler(N_IMAGES, cfg=cfgk)
+    s.seed(seeds)
+    sim_stats = s.run(4)
+    for got, want in zip(stats, sim_stats):
+        assert (got.dequeued, got.fetched, got.finished, got.queued_after) == (
+            want["dequeued"], want["fetched"], want["finished"], want["queued_after"]
+        ), f"epoch {got.epoch}"
+    assert {r.domain for r in c.seen_domains_exact().collect()} == s.seen
+    # cadence rule on the persisted lease history: a lease taken at
+    # epoch e always has shard % 2 == e % 2
+    import glob
+    import os
+
+    saw_lease = False
+    for d in sorted(glob.glob(os.path.join(str(tmp_path / "ckpt_cadence"), "epoch=*"))):
+        for r in c.spark.read.parquet(os.path.join(d, "leases")).collect():
+            saw_lease = True
+            assert r.shard % 2 == r.lease_epoch % 2, (r.domain, r.shard, r.lease_epoch)
+    assert saw_lease
+
+
+def test_cross_scope_same_epoch_discovery_race(spark):
+    """The one real race of the scoped-engine concurrent-commit
+    protocol (README 'Scale design notes'): engines A and B both
+    discover domain D in the SAME epoch and stage it for D's scope
+    owner. The owner's fold — staged-inbox union → min-depth reduce →
+    anti-join vs live frontier AND job_state_archive — must admit
+    exactly ONE frontier row for D, keep the MIN staged depth, lease D
+    once (politeness), and drop re-discoveries of a domain the owner
+    already finished. The fold is enqueue_tasks' own semantics plus
+    the archive anti-join seed() uses — no new code path to trust."""
+    from crusty_spark import frontier as FR
+    from crusty_spark import urls as U
+
+    cfg = CrawlConfig(
+        shard_total=4, shard_min=0, shard_max=1, dequeue_limit=100,
+        domain_concurrency=2, lease_ttl_epochs=10, max_depth=5,
+        page_budget=10, seen_capacity=2000, seen_err=1e-6, salt_buckets=2,
+    )
+    # two domains that land in owner A's scope (shards 0-1)
+    in_scope = [
+        d for d in (f"race{i}.com" for i in range(60))
+        if U.py_shard_of(U.py_addr_key_of(d), cfg.shard_total) <= 1
+    ][:2]
+    assert len(in_scope) == 2
+    d_live, d_finished = in_scope
+
+    def staged(depth: int) -> "DataFrame":
+        raw = spark.createDataFrame(
+            [(f"http://{d_live}/x", depth), (f"http://{d_finished}/y", depth)],
+            ["url", "depth"],
+        )
+        return FR.identity_for_urls(raw, cfg, depth_col=True)
+
+    # A staged the discovery at depth 3, B at depth 2 — same epoch
+    inbox = staged(3).unionByName(staged(2))
+    archive = spark.createDataFrame(
+        [(d_finished, 0, 10, 0.0, 0, True)], FR.JOB_STATE_SCHEMA
+    )
+    folded = FR.enqueue_tasks(
+        FR.empty_frontier(spark),
+        inbox.join(archive.select("domain"), "domain", "left_anti"),
+        epoch=1,
+    )
+    rows = folded.collect()
+    assert [r.domain for r in rows] == [d_live]  # deduped + archive-dropped
+    assert rows[0].depth == 2  # min staged depth won
+    # the owner schedules D exactly once
+    leases = FR.dequeue(
+        folded, FR.empty_leases(spark), FR.empty_job_state(spark), 1, cfg
+    )
+    lease_rows = leases.collect()
+    assert len(lease_rows) == 1 and lease_rows[0].domain == d_live
+
+
 def test_archive_writes_are_per_epoch_deltas(spark, tmp_path):
     """Append-only archives: each finishing epoch writes ONLY its
     archived delta under archive/<name>/e{N} (the metrics append
