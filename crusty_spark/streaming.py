@@ -66,6 +66,37 @@ def url_event_stream(spark: SparkSession, rows_per_second: int = 500, n_domains:
     )
 
 
+def jittered_url_event_stream(
+    spark: SparkSession,
+    rows_per_second: int = 500,
+    n_domains: int = 8,
+    max_late_s: float = 2.0,
+) -> DataFrame:
+    """Synthetic OUT-OF-ORDER request stream: event time lags arrival
+    by a hash-derived jitter in [0, max_late_s] (quantized to 1/4 s),
+    so events arrive up to max_late_s late relative to event order —
+    the bounded-disorder regime the buffered token bucket's
+    ``late_buffer_s`` exists for. url_hash is the unique tick value so
+    (ts, url_hash) is a total order."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    late = (
+        F.pmod(F.xxhash64("value", F.lit(3)), F.lit(int(4 * max_late_s) + 1)).cast(
+            "double"
+        )
+        / 4.0
+    )
+    return rate.select(
+        F.timestamp_seconds(
+            F.unix_micros("timestamp").cast("double") / 1e6 - late
+        ).alias("ts"),
+        F.concat(
+            F.lit("site"), F.pmod(F.xxhash64("value"), F.lit(n_domains)).cast("string"),
+            F.lit(".com"),
+        ).alias("domain"),
+        F.col("value").alias("url_hash"),
+    )
+
+
 def streaming_seen_filter(events: DataFrame, max_state: int = 100_000) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): a
     per-domain URL-seen set that passes only FIRST occurrences through —
@@ -100,7 +131,10 @@ def streaming_seen_filter(events: DataFrame, max_state: int = 100_000) -> DataFr
 
 
 def streaming_token_bucket(
-    events: DataFrame, concurrency: int = 2, delay_s: float = 1.0
+    events: DataFrame,
+    concurrency: int = 2,
+    delay_s: float = 1.0,
+    late_buffer_s: float | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-domain politeness token
     bucket over a fetch-request stream — the in-stream analog of
@@ -123,11 +157,25 @@ def streaming_token_bucket(
     after the state clock has already advanced past its timestamp —
     gets no retroactive refill and is judged against the advanced
     clock (``last = max(last, ts)``), so out-of-order deployments
-    should not expect twin equality; buffer/watermark upstream if
-    event-time-exact admission under lateness is required. The
+    should not expect twin equality from the unbuffered mode. The
     per-group loop runs over one domain's requests in a batch (bounded
     by the domain's request rate), not per-row Python over the
-    stream."""
+    stream.
+
+    ``late_buffer_s`` opts into EVENT-TIME-EXACT admission under
+    bounded lateness (the watermark-buffer pattern): each domain's
+    requests are held in state and only processed — in (event-time,
+    url_hash) order — once the domain's max observed event time has
+    advanced ``late_buffer_s`` past them, so any event arriving within
+    that bound lands in its correct event-time position and the
+    admitted flags equal the scalar twin replayed over the sorted
+    sequence. The trade is emission latency (an event is emitted one
+    buffer-width after its position is safe) and state (the buffer
+    holds ~rate x late_buffer_s rows per domain). Disorder BEYOND the
+    bound degrades gracefully to the unbuffered rule: the straggler is
+    processed in the next batch against the advanced clock, no
+    retroactive refill. Events still inside the buffer when the query
+    stops are unemitted (same as any windowed stream's tail)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -153,10 +201,55 @@ def streaming_token_bucket(
         out = rows.assign(domain=key[0], admitted=admitted)
         yield out[["domain", "url_hash", "ts", "admitted"]]
 
+    def gate_buffered(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, last, buf_ts, buf_uh, clock = state.get
+            pending = list(zip(buf_ts, buf_uh))
+        else:
+            tokens, last, pending, clock = cap, float("-inf"), [], float("-inf")
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for t, uh in zip(rows["ts"], rows["url_hash"]):
+            ts = t.timestamp()
+            pending.append((ts, int(uh)))
+            clock = max(clock, ts)
+        horizon = clock - late_buffer_s
+        pending.sort()
+        out, keep = [], []
+        for ts, uh in pending:
+            if ts > horizon:
+                keep.append((ts, uh))
+                continue
+            if last != float("-inf") and ts > last:
+                tokens = min(tokens + rate * (ts - last), cap)
+            last = max(last, ts)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                out.append((key[0], uh, ts, True))
+            else:
+                out.append((key[0], uh, ts, False))
+        state.update(
+            (tokens, last, [t for t, _ in keep], [u for _, u in keep], clock)
+        )
+        df = pd.DataFrame(out, columns=["domain", "url_hash", "ts", "admitted"])
+        # round float seconds to whole microseconds: Spark timestamps
+        # are us-precision and Arrow refuses a lossy ns->us cast
+        df["ts"] = pd.to_datetime(
+            (df["ts"] * 1e6).round().astype("int64"), unit="us"
+        )
+        yield df
+
+    if late_buffer_s is None:
+        fn, state_schema = gate, "tokens double, last_ts double"
+    else:
+        fn = gate_buffered
+        state_schema = (
+            "tokens double, last_ts double, buf_ts array<double>, "
+            "buf_uh array<long>, clock double"
+        )
     return events.groupBy("domain").applyInPandasWithState(
-        gate,
+        fn,
         outputStructType="domain string, url_hash long, ts timestamp, admitted boolean",
-        stateStructType="tokens double, last_ts double",
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

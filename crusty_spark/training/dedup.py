@@ -107,7 +107,16 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     index (CollapseProject re-inlines any withColumn barrier too) —
     measured 10x slowdown at sf0.1 (the regex tokenizer ran 260k times
     instead of 5k). zip_with arguments are evaluated once per row.
-    """
+
+    CALLER TRAP: ``toks`` itself still appears THREE times below (the
+    base and two shifted slices). If you pass an EXPRESSION (e.g.
+    ``tokens_of(text)``) it is evaluated 3x per row — and a withColumn
+    barrier does not help, CollapseProject inlines it back (measured:
+    the regex tokenizer tripled minhash/fingerprint cost at sf0.1,
+    3.5 s -> 0.9 s when bound once). Pass a lambda VARIABLE (see
+    ``shingles_of``, which binds via a single-element transform — HOF
+    lambda arguments are evaluated once) or a genuinely materialized
+    column."""
     if k != 3:  # general k: chain k-1 zips; only k=3 is used here
         raise NotImplementedError("shingles_from_tokens supports k=3")
     n = F.size(toks)
@@ -123,15 +132,19 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
 
 
 def shingles_of(text: Column, k: int = 3) -> Column:
-    """Convenience wrapper; prefer _with_shingles for hot paths."""
-    return shingles_from_tokens(tokens_of(text), k)
+    """Shingles straight from text, tokenizer evaluated ONCE per row:
+    the token array is bound through a single-element ``transform``
+    whose lambda variable (unlike a projected column, which
+    CollapseProject inlines back into every reference) is evaluated
+    once — measured 3.5 s -> 0.9 s for the sf0.1 shingle explode."""
+    return F.transform(
+        F.array(tokens_of(text)), lambda toks: shingles_from_tokens(toks, k)
+    )[0]
 
 
 def _with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """doc_id + materialized shingle set, tokenizer evaluated once/row."""
-    return docs.withColumn("toks", tokens_of(F.col("text"))).select(
-        "doc_id", shingles_from_tokens(F.col("toks"), k).alias("sh")
-    )
+    return docs.select("doc_id", shingles_of(F.col("text"), k).alias("sh"))
 
 
 def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:

@@ -186,6 +186,71 @@ def test_streaming_token_bucket_matches_twin(spark):
     assert n_adm > 0 and n_rej > n_adm  # overload: most deferred
 
 
+def test_streaming_token_bucket_buffered_handles_late_events(spark):
+    """late_buffer_s mode: over a stream whose events arrive up to
+    2 s OUT of event-time order, the buffered bucket must still emit
+    admission flags exactly equal to the scalar twin replayed over the
+    event-time-sorted sequence — the watermark-buffer reordering puts
+    every bounded-late event in its correct position before judging
+    it. (The unbuffered mode documents this case as outside its
+    contract.) The jitter must actually reorder arrivals, and overload
+    must defer most requests."""
+    import time
+    import uuid
+
+    from crusty_spark.streaming import (
+        jittered_url_event_stream,
+        py_token_bucket,
+        streaming_token_bucket,
+    )
+
+    name = f"bucket_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_token_bucket(
+            jittered_url_event_stream(spark, rows_per_second=500, max_late_s=2.0),
+            concurrency=2,
+            late_buffer_s=2.5,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 40
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 400:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 400
+    # the stream was genuinely out of order: some event with a LOWER
+    # url_hash (arrival tick) carries a LATER event time within a domain
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append((r.ts.timestamp(), r.url_hash, r.admitted))
+    reordered = any(
+        any(
+            a[0] > b[0]
+            for a, b in zip(sorted(evs, key=lambda e: e[1]), sorted(evs, key=lambda e: e[1])[1:])
+        )
+        for evs in by_dom.values()
+    )
+    assert reordered, "jitter failed to reorder any arrivals"
+    n_adm = n_rej = 0
+    for dom, evs in by_dom.items():
+        evs.sort()
+        want = py_token_bucket([(ts, uh) for ts, uh, _ in evs], concurrency=2)
+        got = [adm for _, _, adm in evs]
+        assert got == want, f"{dom}: buffered bucket diverged from twin under lateness"
+        n_adm += sum(got)
+        n_rej += len(got) - sum(got)
+    assert n_adm > 0 and n_rej > n_adm  # overload: most deferred
+
+
 def test_domain_topk_history_persisted(spark, crawled):
     """metrics_topk (types.rs:400-409, init.sql:65-71): one topk
     snapshot per consume epoch; domain_topk_latest == live topk at the
