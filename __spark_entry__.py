@@ -182,6 +182,27 @@ def q_dequeue_scoped(spark, sf_dir):
     )
 
 
+def q_dequeue_cadence(spark, sf_dir):
+    """Shard read cadence (reader.shard_min_last_read analog,
+    conf/default.yaml:100-104; frontier.py shard_min_last_read_epochs):
+    with cadence k=2 at epoch 1, only shards with shard % 2 == epoch % 2
+    are dequeued this epoch — the stateless staggered-read rule applied
+    before the per-shard ranking, exactly as frontier.dequeue applies
+    it."""
+    epoch, k = 1, 2
+    picked = (
+        q_dequeue_one_per_addrkey(spark, sf_dir)
+        .withColumn("shard", (F.col("addr_key") % 4).cast("long"))
+        .filter(F.pmod(F.col("shard"), F.lit(k)) == F.lit(epoch % k))
+    )
+    w = Window.partitionBy("shard").orderBy("depth", "domain")
+    return (
+        picked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("shard", "addr_key", "domain", "depth")
+    )
+
+
 def q_lease_expiry(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     leases = e.select(
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dequeue_one_per_addrkey": q_dequeue_one_per_addrkey,
         "q_dequeue_limit_per_shard": q_dequeue_limit_per_shard,
         "q_dequeue_scoped": q_dequeue_scoped,
+        "q_dequeue_cadence": q_dequeue_cadence,
         "q_lease_expiry": q_lease_expiry,
         "q_page_budget": q_page_budget,
         "q_links_per_page": q_links_per_page,
@@ -923,6 +945,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, addr_key, domain, depth FROM (
               SELECT *, row_number() OVER (PARTITION BY shard ORDER BY depth, domain) AS rk
               FROM picked WHERE shard BETWEEN 1 AND 2) WHERE rk <= 5""",
+        "q_dequeue_cadence": f"""
+            WITH picked AS (
+              SELECT addr_key, domain, depth, addr_key % 4 AS shard FROM (
+                SELECT addr_key, domain, depth,
+                       row_number() OVER (PARTITION BY addr_key ORDER BY depth, domain) AS rn
+                FROM ({_FRONTIER_SQL})) WHERE rn = 1)
+            SELECT shard, addr_key, domain, depth FROM (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY depth, domain) AS rk
+              FROM picked WHERE shard % 2 = 1) WHERE rk <= 5""",
         "q_lease_expiry": """
             SELECT event_type, count(*) AS n_live
             FROM (SELECT event_type, event_id % 50 AS lease_epoch FROM events)

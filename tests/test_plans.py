@@ -184,6 +184,35 @@ def test_scoped_dequeue_prunes_shard_partitions(spark, tmp_path):
     assert got <= {1, 2}
 
 
+def test_cadence_dequeue_prunes_shard_partitions(spark, tmp_path):
+    """The shard read-cadence filter (shard_min_last_read_epochs) is a
+    pure function of the partition column, so on a shard-partitioned
+    snapshot it prunes at file level like the scope filter — an
+    off-cadence shard's files are never opened."""
+    from crusty_spark.fixtures import seed_urls
+    from crusty_spark.frontier import (
+        CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases,
+        enqueue_tasks, identity_for_urls,
+    )
+
+    cfg = CrawlConfig(shard_total=4, shard_min_last_read_epochs=2)
+    tasks = identity_for_urls(
+        spark.createDataFrame([(u,) for u in seed_urls(40)], ["url"]), cfg
+    ).withColumn("blocked", F.lit(False))
+    frontier = enqueue_tasks(empty_frontier(spark), tasks, 0)
+    path = str(tmp_path / "frontier_cadence")
+    frontier.write.partitionBy("shard").parquet(path)
+    rd = spark.read.parquet(path)
+    epoch = 1
+    df = dequeue(rd, empty_leases(spark), empty_job_state(spark), epoch, cfg)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "shard" in seg
+    got = {r.shard for r in df.select("shard").distinct().collect()}
+    assert got and all(s % 2 == epoch % 2 for s in got)
+
+
 def test_dequeue_has_no_python_stage(spark):
     """The scheduler hot path (dequeue selection) must stay JVM-side."""
     from crusty_spark.frontier import CrawlConfig, dequeue, empty_frontier, empty_job_state, empty_leases
