@@ -577,6 +577,43 @@ def q_crawl_epoch(spark, sf_dir):
     return c.fetched_urls().orderBy("url")
 
 
+def q_crawl_curate(spark, sf_dir):
+    """End-to-end axes-A+B composition (rows-only): one scheduler pass
+    (dequeue -> politeness-bounded task selection -> fetch+parse of
+    image+caption payloads) feeding training.pipeline.curate_crawled_
+    images (quality filter -> caption canonicalization -> export
+    shards). Deterministic: hash-derived frontier + fixture payloads."""
+    from crusty_spark import fetch as FE
+    from crusty_spark import frontier as FR
+    from crusty_spark.fixtures import images_df
+    from crusty_spark.frontier import CrawlConfig
+    from crusty_spark.training.pipeline import curate_crawled_images
+    from crusty_spark.urls import shard_of_col
+
+    cfg = CrawlConfig(shard_total=4, dequeue_limit=1000, domain_concurrency=4)
+    ak = F.col("addr_key").cast("string")
+    f = _frontier_df(spark, sf_dir).select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "domain",
+        "tld",
+        ak.alias("addr_key"),
+        shard_of_col(ak, cfg.shard_total).alias("shard"),
+        "depth",
+        F.lit("queued").alias("state"),
+        F.lit(0).cast("int").alias("enqueued_epoch"),
+        F.lit(False).alias("blocked"),
+    )
+    leases = FR.dequeue(f, FR.empty_leases(spark), FR.empty_job_state(spark), 1, cfg)
+    allow = leases.select(
+        "domain", "shard", F.lit(cfg.domain_concurrency).cast("int").alias("allowed")
+    )
+    tasks = FR.select_fetch_tasks(f, allow, cfg)
+    images = images_df(spark, 48)
+    parsed = FE.fetch_and_parse(tasks, images, 48)
+    return curate_crawled_images(parsed, images, n_shards=8).orderBy("shard")
+
+
 def q_image_decode(spark, sf_dir):
     """Payload invariant surface: decode every fixture image, verify the
     stored phash recomputes exactly (rows-only check)."""
@@ -614,6 +651,99 @@ def q_clean_corpus(spark, sf_dir):
     from crusty_spark.training.pipeline import clean_corpus
 
     return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+def _image_caption_pairs(spark, sf_dir):
+    """Deterministic image+caption pair table in the BASELINE input_hint
+    shape (image_id, w, h, fmt, caption): metadata hash-derived from
+    doc_id, captions from documents.text with every ~10th replaced by a
+    too-short caption so the substance gate provably bites."""
+    d = _t(spark, sf_dir, "documents")
+
+    def hp(tag, mod):
+        return F.pmod(_h64(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), F.lit(mod))
+
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+        (hp("#f", 4) + 1).cast("int"),
+    )
+    caption = F.when(hp("#c", 10) == 0, F.lit("short caption")).otherwise(F.col("text"))
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        (hp("#w", 1024) + 32).cast("int").alias("w"),
+        (hp("#h", 1024) + 32).cast("int").alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+    )
+
+
+def q_image_filter(spark, sf_dir):
+    """LAION-style image+caption quality pre-filter
+    (training.curation.filter_image_caption): resolution floor, integer
+    aspect-ratio band, format whitelist, caption token substance —
+    every gate drops rows at sf0.01."""
+    from crusty_spark.training import curation as C
+
+    pairs = _image_caption_pairs(spark, sf_dir)
+    return C.filter_image_caption(
+        pairs, min_w=64, min_h=64, max_aspect=3, fmts=("png", "jpeg"), min_caption_tokens=5
+    ).select("image_id", "w", "h", "fmt", "n_caption_tokens")
+
+
+def q_caption_dedup(spark, sf_dir):
+    """Caption canonicalization for byte-identical images
+    (training.curation.caption_canonicalize): groups of 4 orderkeys
+    share a phash but carry distinct caption variants; one
+    deterministic representative survives per image."""
+    from crusty_spark.training import curation as C
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 4)
+    pairs = o.select(
+        F.concat(F.lit("img"), F.col("o_orderkey").cast("string")).alias("image_id"),
+        F.expr(_H64_SPARK.format(x="cast(o_orderkey div 4 as string)")).alias("phash"),
+        F.concat(F.lit("caption variant "), F.pmod("o_orderkey", F.lit(3)).cast("string")).alias(
+            "caption"
+        ),
+    )
+    return C.caption_canonicalize(pairs)
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixing to target language proportions
+    (training.curation.mix_corpus, en:de:fr = 5:3:2): integer mix plan
+    (largest feasible total, per-stratum hash-sampling threshold) +
+    hash-threshold sample; returns the per-stratum plan vs achieved."""
+    from crusty_spark.training import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {"en": 5, "de": 3, "fr": 2}
+    plan = C.mix_plan(d, "lang", weights).withColumnRenamed("stratum", "lang")
+    sampled = C.mix_corpus(d, "lang", weights, sample_hash=_h64(F.col("doc_id").cast("string")))
+    got = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    return plan.join(got, "lang", "left").select(
+        "lang",
+        "n_total",
+        "n_target",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+def q_export_shards(spark, sf_dir):
+    """Deterministic training-export sharding
+    (training.curation.assign_shards): hash-assign documents to 16
+    shards, then per-shard export-planning stats (row count, byte
+    budget, first key)."""
+    from crusty_spark.training import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    sh = C.assign_shards(
+        d, key_col="doc_id", n_shards=16, shard_hash=_h64(F.col("doc_id").cast("string"))
+    )
+    return sh.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
 
 
 def q_image_stats(spark, sf_dir):
@@ -872,12 +1002,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_embed_neardup": q_embed_neardup,
         "q_clean_corpus": q_clean_corpus,
+        "q_image_filter": q_image_filter,
+        "q_caption_dedup": q_caption_dedup,
+        "q_corpus_mix": q_corpus_mix,
+        "q_export_shards": q_export_shards,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_ivf_kmeans": q_ivf_kmeans,
         "q_bloom_gate": q_bloom_gate,
         "q_crawl_epoch": q_crawl_epoch,
+        "q_crawl_curate": q_crawl_curate,
         "q_image_decode": q_image_decode,
         "q_image_stats": q_image_stats,
     }
@@ -1127,6 +1262,58 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": shingle_base + _minhash_tail(h),
         "q_dedup_clusters": _dedup_clusters_sql(h, shingle_base),
         "q_clean_corpus": _clean_corpus_sql(h),
+        "q_image_filter": f"""
+            WITH pairs AS (
+              SELECT doc_id AS image_id,
+                     cast(32 + {h.format(x="doc_id || '#w'")} % 1024 AS int) AS w,
+                     cast(32 + {h.format(x="doc_id || '#h'")} % 1024 AS int) AS h,
+                     (['png','jpeg','gif','bmp'])[cast({h.format(x="doc_id || '#f'")} % 4 AS int) + 1] AS fmt,
+                     CASE WHEN {h.format(x="doc_id || '#c'")} % 10 = 0
+                          THEN 'short caption' ELSE text END AS caption
+              FROM documents)
+            SELECT image_id, w, h, fmt,
+                   cast(len({_TOKS_SQL.format(x='caption')}) AS int) AS n_caption_tokens
+            FROM pairs
+            WHERE w >= 64 AND h >= 64
+              AND greatest(w, h) <= 3 * least(w, h)
+              AND fmt IN ('png', 'jpeg')
+              AND len({_TOKS_SQL.format(x='caption')}) >= 5""",
+        "q_caption_dedup": f"""
+            SELECT phash, min(image_id) AS rep_image_id,
+                   min(caption) AS canon_caption,
+                   count(*) AS n_rows,
+                   count(DISTINCT caption) AS n_captions
+            FROM (
+              SELECT 'img' || cast(o_orderkey AS varchar) AS image_id,
+                     {h.format(x='cast(o_orderkey // 4 as varchar)')} AS phash,
+                     'caption variant ' || cast(o_orderkey % 3 AS varchar) AS caption
+              FROM orders WHERE o_orderkey % 10 < 4)
+            GROUP BY phash""",
+        "q_corpus_mix": f"""
+            WITH w(lang, wt) AS (VALUES ('en', 5), ('de', 3), ('fr', 2)),
+            counts AS (
+              SELECT d.lang, count(*) AS n_total, any_value(wt) AS wt
+              FROM documents d JOIN w ON d.lang = w.lang
+              GROUP BY d.lang),
+            t AS (SELECT min((n_total * 10) // wt) AS t_total FROM counts),
+            plan AS (
+              SELECT lang, n_total, (wt * (SELECT t_total FROM t)) // 10 AS n_target, wt
+              FROM counts),
+            thr AS (
+              SELECT lang, n_total, n_target, (n_target * 1000000) // n_total AS ppm
+              FROM plan),
+            samp AS (
+              SELECT d.lang FROM documents d JOIN thr USING (lang)
+              WHERE {h.format(x='cast(doc_id as varchar)')} % 1000000 < ppm)
+            SELECT p.lang, p.n_total, p.n_target,
+                   (SELECT count(*) FROM samp s WHERE s.lang = p.lang) AS n_sampled
+            FROM thr p""",
+        "q_export_shards": f"""
+            SELECT cast({h.format(x='cast(doc_id as varchar)')} % 16 AS int) AS shard,
+                   count(*) AS n_docs,
+                   cast(sum(n_chars) AS bigint) AS sum_chars,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY 1""",
         "q_simhash": f"""
             SELECT doc_id,
                    cast(sum(CASE WHEN v > 0 THEN (1::bigint << bit) ELSE 0 END)

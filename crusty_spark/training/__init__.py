@@ -12,4 +12,4 @@ driver's correctness gate; the shared cross-engine 64-bit hash is
 ``conv(substr(md5(x),1,15),16,10)`` — identical in Spark and DuckDB.
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import curation, dedup, similarity, text  # noqa: F401

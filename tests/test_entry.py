@@ -86,7 +86,7 @@ def test_entry_smoke(spark):
     assert df.schema is not None
 
 
-@pytest.mark.parametrize("name", ["q_crawl_epoch", "q_image_decode"])
+@pytest.mark.parametrize("name", ["q_crawl_epoch", "q_image_decode", "q_crawl_curate"])
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     rows = df.collect()
