@@ -51,6 +51,18 @@ def test_median_even_and_odd():
     assert bench.median([4.0, 1.0, 3.0, 2.0]) == 2.5
 
 
+def test_levelbest_efficiency_marries_both_level_floors():
+    # each level's fastest trial is its capability sample, regardless
+    # of which pair it arrived in: a run whose quiet-lo pairs saw noisy
+    # hi legs (and vice versa) still recovers floor/floor.
+    hi = [41.0, 46.4, 60.8]  # floor 41.0
+    lo = [172.1, 125.3, 187.3]  # floor 125.3
+    got = bench.levelbest_efficiency(hi, lo, 4.0)
+    assert abs(got - 125.3 / (4 * 41.0)) < 1e-9
+    # degenerate: single clean trial per level
+    assert bench.levelbest_efficiency([36.0], [124.0], 4.0) == 124.0 / 144.0
+
+
 def test_scratch_dir_is_uid_and_pid_scoped():
     d = S.local_scratch_dir()
     assert f"crusty-spark-local-{os.getuid()}" in d
