@@ -401,6 +401,21 @@ def q_phash_neardup(spark, sf_dir):
     return D.phash_near_dup(imgs, id_col="img_id", phash_col="phash", max_hamming=3)
 
 
+def q_phash_clusters(spark, sf_dir):
+    """Transitive image-dedup clusters (the LAION keep-one-per-group
+    step for identical-looking images): pHash banded near-dup pairs ->
+    connected components via min-label propagation; is_rep marks the
+    canonical (min-id) image of each cluster. Oracle: the same pair
+    derivation + a DuckDB recursive walk CTE."""
+    pairs = q_phash_neardup(spark, sf_dir)
+    clusters = D.dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    return clusters.select(
+        F.col("doc_id").alias("img_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
 def q_topk_sld(spark, sf_dir):
     """SLD-keyed link topk (F12/F13 wiring, rules.rs:28-43): multi-label
     linked hosts collapse to their SLD before hit counting."""
@@ -868,6 +883,31 @@ def _minhash_pairs_ctes(h: str) -> str:
         WHERE j >= 0.3)"""
 
 
+def _phash_cand_ctes(h: str) -> str:
+    """Shared DuckDB CTE prefix of q_phash_neardup / q_phash_clusters:
+    the hash-derived phash table (groups of 4 orderkeys sharing a base
+    with <=1 planted bit-flip), 4x16-bit band projection, and banded
+    candidate pairs."""
+    return """
+            WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 4),
+            ph AS (
+              SELECT o_orderkey AS img_id,
+                     CASE WHEN o_orderkey % 4 = 0 THEN {hb}
+                          ELSE xor({hb},
+                                   (1::bigint << cast((o_orderkey * 7) % 60 AS int))) END AS phash
+              FROM o),
+            bands AS (
+              SELECT img_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
+              FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+            cand AS (
+              SELECT DISTINCT a.img_id AS id_a, a.phash AS ph_a,
+                              x.img_id AS id_b, x.phash AS ph_b
+              FROM bands a JOIN bands x
+                ON a.band = x.band AND a.key = x.key AND a.img_id < x.img_id)""".format(
+        hb=h.format(x="cast(o_orderkey // 4 AS varchar)")
+    )
+
+
 def _dedup_clusters_sql(h: str, shingle_base: str) -> str:
     """DuckDB twin of q_dedup_clusters: connected components as a
     recursive CTE — walk(id, label) enumerates every label reachable
@@ -987,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sld_normalize": q_sld_normalize,
         "q_redirect_chain": q_redirect_chain,
         "q_phash_neardup": q_phash_neardup,
+        "q_phash_clusters": q_phash_clusters,
         "q_topk_sld": q_topk_sld,
         "q_addr_sort": q_addr_sort,
         "q_net_blacklist": q_net_blacklist,
@@ -1176,26 +1217,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders))
             GROUP BY sld""",
         "q_redirect_chain": _redirect_chain_sql(h),
-        "q_phash_neardup": """
-            WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 4),
-            ph AS (
-              SELECT o_orderkey AS img_id,
-                     CASE WHEN o_orderkey % 4 = 0 THEN {hb}
-                          ELSE xor({hb},
-                                   (1::bigint << cast((o_orderkey * 7) % 60 AS int))) END AS phash
-              FROM o),
-            bands AS (
-              SELECT img_id, phash, b.band, (phash >> (b.band * 16)) & 65535 AS key
-              FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-            cand AS (
-              SELECT DISTINCT a.img_id AS id_a, a.phash AS ph_a,
-                              x.img_id AS id_b, x.phash AS ph_b
-              FROM bands a JOIN bands x
-                ON a.band = x.band AND a.key = x.key AND a.img_id < x.img_id)
+        "q_phash_neardup": _phash_cand_ctes(h)
+        + """
             SELECT id_a, id_b, cast(bit_count(xor(ph_a, ph_b)) AS int) AS hamming
-            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".format(
-            hb=h.format(x="cast(o_orderkey // 4 AS varchar)")
-        ),
+            FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""",
+        "q_phash_clusters": _phash_cand_ctes(h)
+        + """,
+            pairs AS (
+              SELECT id_a, id_b FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges)
+            SELECT img_id, cluster_id, cast(img_id = cluster_id AS int) AS is_rep
+            FROM (
+              SELECT id AS img_id, min(label) AS cluster_id FROM (
+                WITH RECURSIVE walk(id, label) AS (
+                  SELECT id, id AS label FROM nodes
+                  UNION
+                  SELECT e.src AS id, w.label
+                  FROM edges e JOIN walk w ON w.id = e.dst
+                ) SELECT id, label FROM walk)
+              GROUP BY id)""",
         "q_topk_sld": """
             SELECT tld, sld, hits, rank FROM (
               SELECT tld, sld, hits,
