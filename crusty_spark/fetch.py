@@ -330,23 +330,177 @@ def payload_store(images: DataFrame):
     return images.sparkSession.sparkContext.broadcast(store)
 
 
-def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MAX_REDIRECT):
-    """Shared numpy kernel for both fetch modes. Each batch: follow the
-    redirect chain (rules.rs:79-86), resolve payload (from the joined
-    columns or the broadcast store), decode, batched gray+phash, derive
-    links. Payload + links resolve against the REDIRECT-FOLLOWED hash —
-    the document actually fetched."""
+# --- vectorized link derivation (Arrow kernel twin of derive_links_np) -
+#
+# The link universe is tiny (500 internal pages x 3 href forms x
+# {plain, #nofollow} = 3,000 strings; 10,000 external stems x the TLD
+# list), so the per-row f-string formatting of derive_links_np is
+# replaced by lookup-table gathers: compute integer indices with numpy,
+# gather the strings with pyarrow take (all C-speed), and assemble the
+# per-row lists as one Arrow ListArray from (offsets, flat values) —
+# zero per-row Python. Equality with derive_links_np is unit-tested
+# (tests/test_fetch_kernel.py).
+
+# href form by (m >> 24) % 10: <6 root-relative, <8 doc-relative, else ./
+_FCLASS = np.array([0, 0, 0, 0, 0, 0, 1, 1, 2, 2], dtype=np.int64)
+_LINK_LUTS = None
+
+
+def _link_luts():
+    """(internal-path LUT, 'extN.' LUT, TLD LUT, '/rN' LUT) as pyarrow
+    string arrays, built once per worker process."""
+    global _LINK_LUTS
+    if _LINK_LUTS is None:
+        import pyarrow as pa
+
+        paths = []
+        for page in range(INTERNAL_PATHS):
+            for form in (f"/p{page}", f"p{page}", f"./p{page}"):
+                paths.append(form)
+                paths.append(form + "#nofollow")
+        _LINK_LUTS = (
+            pa.array(paths, type=pa.string()),
+            pa.array([f"ext{m}." for m in range(EXT_UNIVERSE)], type=pa.string()),
+            pa.array(list(TLD_WHITELIST), type=pa.string()),
+            pa.array([f"/r{i}" for i in range(INTERNAL_PATHS)], type=pa.string()),
+        )
+    return _LINK_LUTS
+
+
+def derive_links_flat(fh: np.ndarray, ph: np.ndarray, admit: np.ndarray):
+    """Vectorized derive_links_np restricted to admitted rows ->
+    (offsets_int, values_int, offsets_ext, values_ext): int32 offset
+    arrays (len n+1) plus flat pyarrow string values in row-major link
+    order — the (offsets, values) pair of an Arrow ListArray. Rows with
+    admit=False contribute zero links (the kernel emits [] for them,
+    exactly like the pandas path did)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    int_lut, ext_num_lut, tld_lut, _ = _link_luts()
+    uh = fh.astype(np.uint64)
+    phu = ph.astype(np.uint64)
+    mix0 = xxh64_long_np((uh ^ phu).view(np.int64), seed=101)
+    n_int = np.where(admit, (mix0 % np.uint64(MAX_INTERNAL)).astype(np.int64), 0)
+    n_ext = np.where(
+        admit, ((mix0 >> np.uint64(8)) % np.uint64(MAX_EXTERNAL)).astype(np.int64), 0
+    )
+
+    mi = np.empty((len(uh), MAX_INTERNAL), dtype=np.uint64)
+    for k in range(MAX_INTERNAL):
+        mi[:, k] = xxh64_long_np(uh.view(np.int64), seed=1000 + k)
+    valid_i = np.arange(MAX_INTERNAL, dtype=np.int64)[None, :] < n_int[:, None]
+    mflat = mi[valid_i]  # row-major: row i's slots k=0..n_int[i]-1 in order
+    page = (mflat % np.uint64(INTERNAL_PATHS)).astype(np.int64)
+    fclass = _FCLASS[((mflat >> np.uint64(24)) % np.uint64(10)).astype(np.int64)]
+    nofollow = (((mflat >> np.uint64(20)) % np.uint64(10)) == 0).astype(np.int64)
+    values_int = pc.take(int_lut, pa.array(page * 6 + fclass * 2 + nofollow))
+    offsets_int = np.concatenate(([0], np.cumsum(n_int))).astype(np.int32)
+
+    me = np.empty((len(uh), MAX_EXTERNAL), dtype=np.uint64)
+    for k in range(MAX_EXTERNAL):
+        me[:, k] = xxh64_long_np(phu.view(np.int64), seed=2000 + k)
+    valid_e = np.arange(MAX_EXTERNAL, dtype=np.int64)[None, :] < n_ext[:, None]
+    eflat = me[valid_e]
+    num = (eflat % np.uint64(EXT_UNIVERSE)).astype(np.int64)
+    tld_idx = ((eflat >> np.uint64(32)) % np.uint64(len(TLD_WHITELIST))).astype(np.int64)
+    values_ext = pc.binary_join_element_wise(
+        pc.take(ext_num_lut, pa.array(num)), pc.take(tld_lut, pa.array(tld_idx)), ""
+    )
+    offsets_ext = np.concatenate(([0], np.cumsum(n_ext))).astype(np.int32)
+    return offsets_int, values_int, offsets_ext, values_ext
+
+
+# --- per-store decode cache --------------------------------------------
+#
+# The payload universe of the store mode is a fixed table: each distinct
+# payload needs decoding ONCE per worker, not once per fetched row (the
+# pandas kernel decoded ~every row: at bench scale that was ~12,000
+# identical zlib+gray+phash pipelines per distinct image per epoch).
+# The decoded digest (phash, byte size) attaches to the broadcast value
+# dict, so its lifetime is exactly the broadcast's and reused across
+# tasks by the worker's broadcast registry. phash64_batch is per-item
+# deterministic (same contract phash_ok already relies on), so results
+# are bit-identical to the per-row path.
+
+
+def _store_decoded(store: dict) -> dict:
+    dec = store.get("_decoded")
+    if dec is None:
+        import pyarrow as pa
+
+        from .codec import decode_image, to_gray_32_batch
+
+        blobs = store["bytes"]
+        n_st = len(blobs)
+        phash = np.zeros(n_st, dtype=np.int64)
+        size = np.zeros(n_st, dtype=np.int64)
+        present = np.zeros(n_st, dtype=bool)
+        pxs, idxs = [], []
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            px, _ = decode_image(b)
+            size[i] = len(b)
+            pxs.append(px)
+            idxs.append(i)
+        if idxs:
+            phash[idxs] = phash64_batch(to_gray_32_batch(pxs))
+            present[idxs] = True
+        dec = {
+            "phash": phash,
+            "size": size,
+            "present": present,
+            "phash_stored": np.asarray(store["phash"], dtype=np.int64),
+            "ids_pa": pa.array(list(store["image_id"]), type=pa.string()),
+            "caps_pa": pa.array(list(store["caption"]), type=pa.string()),
+        }
+        store["_decoded"] = dec
+    return dec
+
+
+_PARSE_SCHEMA_PA = None
+
+
+def _parse_arrow_schema():
+    global _PARSE_SCHEMA_PA
+    if _PARSE_SCHEMA_PA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _PARSE_SCHEMA_PA = to_arrow_schema(PARSE_SCHEMA)
+    return _PARSE_SCHEMA_PA
+
+
+def _parse_arrow(batches, n_images: int, store_bc=None, max_redirect: int = MAX_REDIRECT):
+    """Arrow-native kernel for both fetch modes (operates on
+    pyarrow.RecordBatch — url/domain strings pass through untouched, no
+    pandas object columns). Each batch: follow the redirect chain
+    (rules.rs:79-86), resolve payload (from the joined columns or the
+    broadcast store's decode cache), derive links via LUT gathers.
+    Payload + links resolve against the REDIRECT-FOLLOWED hash — the
+    document actually fetched. Values are bit-identical to the previous
+    pandas kernel (modes + simulator equality tests pin this)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .codec import decode_image, to_gray_32_batch
 
-    for pdf in batches:
-        n = len(pdf)
+    schema = _parse_arrow_schema()
+    t_int_paths = schema.field("internal_paths").type
+    t_ext_doms = schema.field("external_domains").type
+
+    for rb in batches:
+        n = rb.num_rows
         if n == 0:
             continue
-        uh = pdf["url_hash"].to_numpy(dtype=np.int64)
-        if "final_hash" in pdf.columns:  # join mode: chain already added
-            fh = pdf["final_hash"].to_numpy(dtype=np.int64)
-            status = pdf["status"].to_numpy(dtype=np.int64)
-            hops = pdf["n_redirects"].to_numpy(dtype=np.int64)
+        names = rb.schema.names
+        col = {nm: rb.column(i) for i, nm in enumerate(names)}
+        uh = col["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        join_mode = "final_hash" in names
+        if join_mode:  # chain already added by _with_chain_cols
+            fh = col["final_hash"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            status = col["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hops = col["n_redirects"].to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             fh, status, hops = resolve_redirects_np(uh, max_redirect)
         # fetch-phase draws + caps (default.yaml:201-211): timeouts fire
@@ -367,43 +521,51 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
         # F9 content-type admission: only image/* reaches the parser
         ct_ok = content_type_np(fh)
         admit = ok200 & ct_ok & ~oversize
-        if store_bc is not None:
-            store = store_bc.value
-            # pmod semantics, shared with the join mode (F.pmod on the
-            # signed long) and the simulator (Python %): numpy int64 %
-            # positive divisor is already non-negative. The previous
-            # unsigned-u64 modulo only agreed when n_images was a power
-            # of two — for any other n_images, negative final hashes
-            # resolved to a different image than the join mode.
-            idx_arr = np.mod(fh, np.int64(n_images))
-            blob_list = store["bytes"]
-            blobs = [blob_list[ix] if ok else None for ix, ok in zip(idx_arr, admit)]
-            image_id = pd.Series(np.where(admit, store["image_id"][idx_arr], None))
-            caption = pd.Series(np.where(admit, store["caption"][idx_arr], None))
-            phash_stored = store["phash"][idx_arr]
-        else:
-            blobs = [
-                bytes(b) if (ok and b is not None) else None
-                for b, ok in zip(pdf["bytes"], admit)
-            ]
-            image_id = pdf["image_id"].where(admit, None)
-            caption = pdf["caption"].where(admit, None)
-            phash_stored = pdf["phash_stored"].to_numpy(dtype=np.int64)
         phash = np.zeros(n, dtype=np.int64)
         phash_ok = np.zeros(n, dtype=bool)
         size = np.zeros(n, dtype=np.int64)
-        pxs, idxs = [], []
-        for i, b in enumerate(blobs):
-            if b is None:
-                continue
-            px, _ = decode_image(b)
-            size[i] = len(b)
-            pxs.append(px)
-            idxs.append(i)
-        if idxs:
-            hs = phash64_batch(to_gray_32_batch(pxs))
-            phash[idxs] = hs
-            phash_ok[idxs] = hs == phash_stored[idxs]
+        if store_bc is not None:
+            dec = _store_decoded(store_bc.value)
+            # pmod semantics, shared with the join mode (F.pmod on the
+            # signed long) and the simulator (Python %): numpy int64 %
+            # positive divisor is already non-negative
+            idx_arr = np.mod(fh, np.int64(n_images))
+            decoded = admit & dec["present"][idx_arr]
+            phash[decoded] = dec["phash"][idx_arr[decoded]]
+            phash_ok[decoded] = (
+                dec["phash"][idx_arr[decoded]] == dec["phash_stored"][idx_arr[decoded]]
+            )
+            size[decoded] = dec["size"][idx_arr[decoded]]
+            take_idx = pa.array(idx_arr, mask=~admit)
+            image_id = pc.take(dec["ids_pa"], take_idx)
+            caption = pc.take(dec["caps_pa"], take_idx)
+        else:
+            bytes_col = col["bytes"]
+            phash_stored = col["phash_stored"].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            bvalid = admit & ~bytes_col.is_null().to_numpy(zero_copy_only=False)
+            valid_idx = np.nonzero(bvalid)[0]
+            if len(valid_idx):
+                # decode each DISTINCT payload once (image_id is the
+                # payload table's unique key), scatter to rows
+                ids_valid = np.array(
+                    pc.take(col["image_id"], pa.array(valid_idx)).to_pylist(), dtype=object
+                )
+                u_ids, first, inv = np.unique(
+                    ids_valid, return_index=True, return_inverse=True
+                )
+                rep_blobs = pc.take(bytes_col, pa.array(valid_idx[first])).to_pylist()
+                pxs = [decode_image(b)[0] for b in rep_blobs]
+                ph_u = phash64_batch(to_gray_32_batch(pxs))
+                size_u = np.array([len(b) for b in rep_blobs], dtype=np.int64)
+                phash[valid_idx] = ph_u[inv]
+                phash_ok[valid_idx] = ph_u[inv] == phash_stored[valid_idx]
+                size[valid_idx] = size_u[inv]
+            null_str = pa.scalar(None, pa.string())
+            admit_pa = pa.array(admit)
+            image_id = pc.if_else(admit_pa, col["image_id"], null_str)
+            caption = pc.if_else(admit_pa, col["caption"], null_str)
         # oversize reads are capped at the limit, then terminated
         size[oversize] = MAX_RESPONSE_SIZE
         parse_us = np.where(
@@ -412,50 +574,53 @@ def _parse_batches(batches, n_images: int, store_bc=None, max_redirect: int = MA
             + ((fh.astype(np.uint64) >> np.uint64(11)) % np.uint64(500)).astype(np.int64),
             0,
         )
-        ints, exts = derive_links_np(fh, phash)
+        off_i, val_i, off_e, val_e = derive_links_flat(fh, phash, admit)
         # final_url: synthesized Location of the last hop (same-domain
-        # "/r{idx}" page); only ~4% of rows redirect, so the string
-        # build loop touches few rows
-        red_idx = np.nonzero(hops > 0)[0]
-        if len(red_idx):
-            fu = pdf["url"].to_numpy(dtype=object, copy=True)
-            doms = pdf["domain"]
-            for i in red_idx:
-                fu[i] = f"http://{doms.iat[i]}/r{int(fh[i]) % INTERNAL_PATHS}"
-            final_url = pd.Series(fu)
+        # "/r{idx}" page), gathered from the '/rN' LUT and spliced over
+        # the passthrough url array
+        red_mask = hops > 0
+        if red_mask.any():
+            r_lut = _link_luts()[3]
+            repl = pc.binary_join_element_wise(
+                "http://",
+                col["domain"],
+                pc.take(r_lut, pa.array(np.mod(fh, np.int64(INTERNAL_PATHS)))),
+                "",
+            )
+            final_url = pc.if_else(pa.array(red_mask), repl, col["url"])
         else:
-            final_url = pdf["url"]
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "url_hash": pdf["url_hash"],
-                "domain": pdf["domain"],
-                "depth": pdf["depth"],
-                "status": status.astype(np.int32),
-                "final_url": final_url,
-                "n_redirects": hops.astype(np.int32),
-                "content_type": np.where(ct_ok, CONTENT_TYPES[0], CONTENT_TYPES[1]),
-                "image_id": image_id,
-                "caption": caption,
-                "phash": phash,
-                "phash_ok": phash_ok,
-                "read_size_b": size,
-                "write_size_b": write_b,
-                "wait_time_ms": wait_ms.astype(np.int32),
-                "status_time_ms": st_ms.astype(np.int32),
-                "load_time_ms": ld_ms.astype(np.int32),
-                "parse_time_micro": parse_us,
-                "oversize": oversize,
-                "internal_paths": [i if o else [] for i, o in zip(ints, admit)],
-                "external_domains": [e if o else [] for e, o in zip(exts, admit)],
-            }
-        )
+            final_url = col["url"]
+        arrays = [
+            col["url"],
+            col["url_hash"],
+            col["domain"],
+            col["depth"],
+            pa.array(status.astype(np.int32)),
+            final_url,
+            pa.array(hops.astype(np.int32)),
+            pc.if_else(pa.array(ct_ok), pa.scalar(CONTENT_TYPES[0]), pa.scalar(CONTENT_TYPES[1])),
+            image_id,
+            caption,
+            pa.array(phash),
+            pa.array(phash_ok),
+            pa.array(size),
+            pa.array(write_b),
+            pa.array(wait_ms.astype(np.int32)),
+            pa.array(st_ms.astype(np.int32)),
+            pa.array(ld_ms.astype(np.int32)),
+            pa.array(parse_us),
+            pa.array(oversize),
+            pa.ListArray.from_arrays(pa.array(off_i, type=pa.int32()), val_i).cast(t_int_paths),
+            pa.ListArray.from_arrays(pa.array(off_e, type=pa.int32()), val_e).cast(t_ext_doms),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 def _with_chain_cols(df: DataFrame, max_redirect: int) -> DataFrame:
     """Join-mode helper: append final_hash/status/n_redirects via one
     Arrow-batched pass so the payload equi-join can key on the
-    redirect-followed hash."""
+    redirect-followed hash. Arrow-native: every input column passes
+    through untouched."""
     schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -466,16 +631,24 @@ def _with_chain_cols(df: DataFrame, max_redirect: int) -> DataFrame:
     )
 
     def add(batches):
-        for pdf in batches:
-            uh = pdf["url_hash"].to_numpy(dtype=np.int64)
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            uh = (
+                rb.column(rb.schema.get_field_index("url_hash"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
             fh, st, hops = resolve_redirects_np(uh, max_redirect)
-            yield pdf.assign(
-                final_hash=fh,
-                status=st.astype(np.int32),
-                n_redirects=hops.astype(np.int32),
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns)
+                + [pa.array(fh), pa.array(st.astype(np.int32)), pa.array(hops.astype(np.int32))],
+                names=list(rb.schema.names) + ["final_hash", "status", "n_redirects"],
             )
 
-    return df.mapInPandas(add, schema)
+    return df.mapInArrow(add, schema)
 
 
 def fetch_and_parse(
@@ -494,13 +667,19 @@ def fetch_and_parse(
     - otherwise: plain equi-join on image_idx = pmod(url_hash,
       n_images); Catalyst broadcasts the images side when small,
       shuffles by key otherwise — for payload-as-a-table deployments.
+
+    Only the columns the kernel reads are shipped across Arrow (an
+    opaque map function defeats Catalyst's column pruning, so the
+    projection is explicit — guide §4.1).
     """
     if store_bc is not None:
 
         def parse_store(batches):
-            yield from _parse_batches(batches, n_images, store_bc, max_redirect)
+            yield from _parse_arrow(batches, n_images, store_bc, max_redirect)
 
-        return tasks.mapInPandas(parse_store, PARSE_SCHEMA)
+        return tasks.select("url", "url_hash", "domain", "depth").mapInArrow(
+            parse_store, PARSE_SCHEMA
+        )
 
     t = _with_chain_cols(tasks, max_redirect)
     t = t.withColumn("image_idx", F.pmod(F.col("final_hash"), F.lit(n_images)))
@@ -510,14 +689,19 @@ def fetch_and_parse(
     # only 200s fetch a payload; errors keep task metadata for metrics.
     # coalesce the stored hash JVM-side: a nullable long becomes float64
     # in pandas and silently corrupts int64 hash values beyond 2^53
-    joined = t.join(im, "image_idx", "left").withColumn(
-        "phash_stored", F.coalesce("phash_stored", F.lit(0))
+    joined = (
+        t.join(im, "image_idx", "left")
+        .withColumn("phash_stored", F.coalesce("phash_stored", F.lit(0)))
+        .select(
+            "url", "url_hash", "domain", "depth", "final_hash", "status",
+            "n_redirects", "image_id", "bytes", "caption", "phash_stored",
+        )
     )
 
     def parse_joined(batches):
-        yield from _parse_batches(batches, n_images, None, max_redirect)
+        yield from _parse_arrow(batches, n_images, None, max_redirect)
 
-    return joined.mapInPandas(parse_joined, PARSE_SCHEMA)
+    return joined.mapInArrow(parse_joined, PARSE_SCHEMA)
 
 
 # ---------------------------------------------------------------------

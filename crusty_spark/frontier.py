@@ -261,16 +261,33 @@ JOB_STATE_SCHEMA = T.StructType(
 )
 
 
+def _mark_known_empty(df: DataFrame) -> DataFrame:
+    """Tag a constructor-empty DataFrame. PySpark's createDataFrame([],
+    schema) is RDD-backed (Scan ExistingRDD), so Catalyst's
+    PropagateEmptyRelation cannot prove it empty statically and plans
+    full SortMergeJoins (with big-side sorts and an empty-side
+    exchange) against it; operators that receive a tagged frame skip
+    those algebraic no-ops themselves (anti-join vs empty = identity,
+    union vs empty = identity). Only these constructors set the tag, so
+    the skip is always sound."""
+    df._crusty_known_empty = True
+    return df
+
+
+def known_empty(df: DataFrame) -> bool:
+    return bool(getattr(df, "_crusty_known_empty", False))
+
+
 def empty_frontier(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], FRONTIER_SCHEMA)
+    return _mark_known_empty(spark.createDataFrame([], FRONTIER_SCHEMA))
 
 
 def empty_leases(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], LEASES_SCHEMA)
+    return _mark_known_empty(spark.createDataFrame([], LEASES_SCHEMA))
 
 
 def empty_job_state(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], JOB_STATE_SCHEMA)
+    return _mark_known_empty(spark.createDataFrame([], JOB_STATE_SCHEMA))
 
 
 # ---------------------------------------------------------------------
@@ -360,6 +377,8 @@ def dequeue(
        (SPOP replacement, deterministic — SURVEY §2.6 O3)
     5. O2: per-shard dequeue_limit (lib.rs:112-118)
     """
+    leases_empty = known_empty(leases)
+    job_state_empty = known_empty(job_state)
     live_leases = leases.filter(
         F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch)
     )
@@ -389,42 +408,60 @@ def dequeue(
     # shuffles). J3 (addr_key holds a live lease) is applied AFTER the
     # per-addr_key argmin below, on one row per addr_key, where it is
     # exchange-free — excluding an addr_key before or after picking its
-    # best domain is the same set.
-    excl_domains = (
-        job_state.filter(F.col("finished"))
-        .select("domain")
-        .unionByName(live_leases.select("domain"))
-    )
-    domains = domains.join(excl_domains, "domain", "left_anti")
+    # best domain is the same set. Constructor-empty exclusion sides
+    # skip the join entirely (see _mark_known_empty): PySpark empty
+    # frames are RDD-backed, so the optimizer would otherwise plan a
+    # SortMergeJoin with a big-side sort against a provably-empty list.
+    excl_parts = []
+    if not job_state_empty:
+        excl_parts.append(job_state.filter(F.col("finished")).select("domain"))
+    if not leases_empty:
+        excl_parts.append(live_leases.select("domain"))
+    if excl_parts:
+        excl_domains = excl_parts[0]
+        for p in excl_parts[1:]:
+            excl_domains = excl_domains.unionByName(p)
+        domains = domains.join(excl_domains, "domain", "left_anti")
 
     # salted two-phase argmin over (min_depth, domain) per addr_key:
     # phase 1 reduces each (addr_key, salt) bucket to one candidate,
     # phase 2 reduces the <=salt_buckets survivors. Hot /24s with many
     # domains therefore never serialize into a single task. The single
-    # explicit repartition on addr_key is the ONLY big-side exchange in
-    # the whole dequeue: phase 1, phase 2 and the J3 anti-join all reuse
-    # it (their keys contain / equal addr_key). Partial aggregation
-    # before the exchange would win nothing — the groupBy above already
-    # left ~one row per (addr_key, domain).
+    # explicit repartition — keyed on SHARD, which is a pure function
+    # of addr_key (crc32 % shard_total), so it clusters addr_keys too —
+    # is the ONLY exchange in the whole dequeue: phase 1 and phase 2
+    # group by (shard, addr_key, ...) supersets of the partition key,
+    # the J3 anti-join co-keys on (shard, addr_key) (every lease row's
+    # shard is engine-derived from its addr_key, so adding the shard
+    # equality is a no-op), and the final per-shard ranking window
+    # reuses the same hashpartitioning(shard) — previously the window
+    # re-exchanged by shard after an addr_key-keyed argmin (2 big
+    # exchanges per dequeue instead of 1; guide §2.4: two operations
+    # keyed the same way share one exchange). shard also spreads MORE
+    # evenly than addr_key (shards are uniform by construction; a hot
+    # /24 skews an addr_key partition), and shard, being a group key,
+    # no longer rides the argmin struct.
     cand = F.struct(
         F.col("min_depth").alias("p"), F.col("domain").alias("domain"),
-        F.col("shard").alias("shard"),
     )
     phase1 = (
         domains.withColumn(
             "salt", F.pmod(F.xxhash64("domain"), F.lit(cfg.salt_buckets))
         )
-        .repartition("addr_key")
-        .groupBy("addr_key", "salt")
+        .repartition("shard")
+        .groupBy("shard", "addr_key", "salt")
         .agg(F.min(cand).alias("cand"))
     )
-    picked = phase1.groupBy("addr_key").agg(F.min("cand").alias("cand")).select(
+    picked = phase1.groupBy("shard", "addr_key").agg(F.min("cand").alias("cand")).select(
+        "shard",
         "addr_key",
         F.col("cand.domain").alias("domain"),
-        F.col("cand.shard").alias("shard"),
         F.col("cand.p").alias("min_depth"),
     )
-    picked = picked.join(live_leases.select("addr_key"), "addr_key", "left_anti")
+    if not leases_empty:
+        picked = picked.join(
+            live_leases.select("shard", "addr_key"), ["shard", "addr_key"], "left_anti"
+        )
 
     # per-shard limit (deterministic rank by (min_depth, domain));
     # shard count is fixed and balanced so this window doesn't skew

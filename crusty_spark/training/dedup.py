@@ -178,16 +178,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, k: int = 3, shingle_sets: DataFrame | None = None
+) -> DataFrame:
     """MinHash: signature_i = min over shingles of h64(shingle || ':' || i).
-    Computed with one explode + groupBy — the per-perm hashing happens
-    inside a higher-order transform, all JVM-side."""
-    sh = _doc_shingles(docs, k)
+
+    Computed as ``array_min(transform(sh, ...))`` over the per-doc
+    shingle array — row-local higher-order functions, so the previous
+    explode + groupBy EXCHANGE of every (doc, shingle, 8 hashes) row is
+    gone entirely (guide §2.4: remove shuffles outright); the min over
+    the same distinct-shingle set is the same value. ``shingle_sets``
+    lets a caller that already materialized ``_with_shingles`` reuse it
+    (the tokenizer + shingle build is the dominant per-row cost)."""
+    sh = _with_shingles(docs, k) if shingle_sets is None else shingle_sets
     cols = [
-        F.min(h64(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(f"mh{i}")
+        F.array_min(
+            F.transform(
+                F.col("sh"), lambda s, i=i: h64(F.concat_ws(":", s, F.lit(str(i))))
+            )
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*cols)
+    return sh.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -206,7 +218,11 @@ def minhash_lsh_pairs(
     (e.g. millions of near-empty docs landing in one bucket would make
     pair generation quadratic) — see banded_candidate_pairs, the shared
     cap + pair skeleton of all three near-dup detectors."""
-    sig = minhash_signatures(docs, n_hashes, k)
+    # ONE tokenizer+shingle pass feeds both the signatures and the
+    # verify stage (it was computed twice — guide §1.2: don't compute
+    # things twice before tuning anything else)
+    sets = _with_shingles(docs, k).persist()
+    sig = minhash_signatures(docs, n_hashes, k, shingle_sets=sets)
     n_bands = n_hashes // band_size
     # one projection + explode, NOT a per-band union: a union would
     # recompute the whole shingle->signature aggregation once per band
@@ -247,7 +263,6 @@ def minhash_lsh_pairs(
     # array_intersect — the all-pairs shingle self-join would dominate
     # the whole pipeline (measured 84s vs <10s at sf0.1) and defeats the
     # point of LSH blocking
-    sets = _with_shingles(docs, k).persist()
     sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -343,26 +358,34 @@ def dedup_clusters(
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash: bit j of the signature is the sign of the vote
-    sum_tokens(+1 if bit j of h64(token) else -1). Expressed as
-    explode(tokens) x explode(bitpos) -> groupBy(doc, bit) votes ->
-    groupBy(doc) bit-assembly. Two map-side-combinable aggregations."""
+    sum_tokens(+1 if bit j of h64(token) else -1).
+
+    The `bits` vote lanes are UNROLLED as aggregate columns of one
+    groupBy(doc) instead of the previous explode(bitpos) cross: the
+    exchange carries n_tokens rows once, not `bits` times — and the
+    map-side partial aggregation collapses that to ~one row per doc
+    before the shuffle — and the second (doc-level) aggregation becomes
+    a plain projection (guide §2.3 aggregate-before-shuffle / §2.4
+    remove shuffles: 2 Exchanges -> 1, 16x less pre-combine data).
+    Integer vote sums are order-independent, so signatures are
+    identical; docs with zero tokens stay absent (explode semantics,
+    unchanged)."""
     tok = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("tok"))
     tok = tok.withColumn("th", h64(F.col("tok")))
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        tok.select("doc_id", "th", bitpos)
-        .withColumn(
-            "vote",
-            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def phash_near_dup(

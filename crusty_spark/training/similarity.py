@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_of(v):
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, v_: acc + v_)
+    )
+
+
 def _cos(a: str, b: str):
     # compute in float64 (embeddings are float32 on disk) so the DuckDB
     # twin (embedding::DOUBLE[]) sees bit-identical arithmetic
@@ -42,18 +56,28 @@ def cosine_topk(
     emb: DataFrame, query_mod: int = 101, k: int = 5
 ) -> DataFrame:
     """Exact top-k cosine neighbours for query vectors (vec_id % query_mod
-    == 0), excluding self. Returns (query_id, neighbor_id, cos, rank)."""
-    q = emb.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    == 0), excluding self. Returns (query_id, neighbor_id, cos, rank).
+
+    The float32->float64 cast and each side's norm are computed ONCE per
+    row before the broadcast cross join, not once per (query, corpus)
+    pair — sqrt(agg(v^2)) over the same doubles is the same float
+    whether computed per pair or per row, so scores are bit-identical
+    to the per-pair form (guide §1.2: cut repeated work before anything
+    else; this removes ~2/3 of the pair-stage flops)."""
+    base = _as_double_vecs(emb)
+    q = base.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), _norm_of(F.col("v")).alias("qn")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), _norm_of(F.col("v")).alias("cn")
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cos("qv", "cv"), 6).alias("cos"),
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -178,21 +202,21 @@ def ivf_topk(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     assigned = _assign_nearest(e, cents)
+    # per-row norms, not per-pair (bit-identical — see cosine_topk)
     q = assigned.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        _norm_of(F.col("v")).alias("qn"), "cid",
     )
-    c = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"), "cid")
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv2"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"),
+        _norm_of(F.col("v")).alias("cn"), "cid",
     )
-    def nrm(col):
-        return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv2"))), 6).alias("cos"),
+            F.round(_dot("qv", "cv2") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -208,16 +232,25 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket. Same output shape as cosine_topk; recall < 1 by design —
-    this is the plan that survives 10^9 vectors (bucket-local work)."""
-    e = emb.withColumn("bucket", sign_bucket(F.col("embedding"), bits))
+    this is the plan that survives 10^9 vectors (bucket-local work).
+    Casts and norms are per-row, not per-pair (bit-identical — see
+    cosine_topk; the sign bucket is sign-invariant under the cast)."""
+    e = _as_double_vecs(emb).withColumn("bucket", sign_bucket(F.col("v"), bits))
     q = e.filter(F.pmod("vec_id", F.lit(query_mod)) == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        _norm_of(F.col("v")).alias("qn"), "bucket",
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        _norm_of(F.col("v")).alias("cn"), "bucket",
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(_cos("qv", "cv"), 6).alias("cos"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
