@@ -341,6 +341,13 @@ class Crawler:
         for name in self.ARCHIVE_TABLES:
             adir = os.path.join(self.ckpt, "archive", name)
             live = self._archive_dirs(name, committed)
+            # sweep ALL interrupted-compaction temp dirs first,
+            # regardless of fold epoch: a _tmp-base-e* dir is never a
+            # commit point (rename makes it a base), so it is always
+            # safe to delete — keying the sweep on this call's fold
+            # epoch would leak a crashed run's tmp dir forever
+            for p in glob.glob(os.path.join(adir, "_tmp-base-e*")):
+                shutil.rmtree(p, ignore_errors=True)
             # sweep dirs an earlier (possibly interrupted) compaction
             # already shadowed: bases older than the newest base, and
             # deltas at or below it

@@ -83,7 +83,14 @@ def append_epoch_metrics(base_dir: str, name: str, df: DataFrame, epoch: int) ->
 
 
 def read_metrics(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(base_dir, "metrics", name, "e*"))
+    # mergeSchema: a checkpoint resumed across an engine upgrade holds
+    # per-epoch deltas with different schemas (e.g. metrics_job rows
+    # written before term_by/duration_epochs existed); schema inference
+    # from one footer would drop the new columns for old epochs or fail
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base_dir, "metrics", name, "e*"))
+    )
 
 
 # --- dashboard-equivalent aggregates (Grafana SQL analogs) -------------

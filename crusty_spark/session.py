@@ -66,11 +66,41 @@ def local_scratch_dir() -> str:
     return os.path.join(local_scratch_root(), str(os.getpid()))
 
 
+def _dir_in_use(path: str) -> bool:
+    """True if any live process holds an open fd (or its cwd) inside
+    ``path`` — the belt-and-suspenders guard for the orphan window
+    where a Python driver died but its child JVM briefly outlives it
+    and is still writing shuffle files into the driver-pid-named dir.
+    Scans /proc; unreadable entries (raced exits, permissions) are
+    skipped — absence of evidence keeps the dir eligible, which only
+    risks a leak, never a delete-under-a-live-writer in the cases we
+    can observe."""
+    prefix = path.rstrip(os.sep) + os.sep
+    try:
+        pids = [e for e in os.listdir("/proc") if e.isdigit()]
+    except OSError:
+        return False
+    for pid in pids:
+        try:
+            cwd = os.readlink(f"/proc/{pid}/cwd")
+            if cwd == path or cwd.startswith(prefix):
+                return True
+            for fd in os.listdir(f"/proc/{pid}/fd"):
+                tgt = os.readlink(f"/proc/{pid}/fd/{fd}")
+                if tgt.startswith(prefix):
+                    return True
+        except OSError:
+            continue  # process exited mid-scan or fd not readable
+    return False
+
+
 def cleanup_stale_scratch() -> list[str]:
     """Remove scratch dirs under this user's root whose owning process
     no longer exists. Only ever touches dirs this module created (the
     uid-scoped root), and only those whose pid is dead — a live pid's
-    dir is left alone even if that process isn't Spark."""
+    dir is left alone even if that process isn't Spark. A dead-pid dir
+    is additionally kept while any live process still has files open
+    inside it (the dying-driver / surviving-JVM orphan window)."""
     root = local_scratch_root()
     removed: list[str] = []
     if not os.path.isdir(root):
@@ -89,7 +119,7 @@ def cleanup_stale_scratch() -> list[str]:
             alive = False
         except PermissionError:
             alive = True  # exists, owned by someone else somehow: keep
-        if not alive:
+        if not alive and not _dir_in_use(path):
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
     return removed

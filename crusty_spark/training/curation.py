@@ -95,17 +95,25 @@ def mix_plan(
 
     -> (stratum, n_total, n_target, ppm); strata outside ``weights``
     are excluded (weight 0). The result has len(weights) rows — always
-    broadcast-sized.
+    broadcast-sized — INCLUDING weighted strata absent from the corpus
+    (n_total 0): a missing stratum makes the target proportions
+    infeasible, so it must force t_total = 0 (sample nothing) rather
+    than silently vanish from the min and let the emitted plan miss the
+    target ratios. Its own ppm is 0, matching 'no rows to sample'.
     """
     wtotal = sum(weights.values())
-    wmap = F.create_map(
-        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
+    spark = docs.sparkSession
+    wrows = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()], "stratum string, wt int"
     )
     counts = (
         docs.filter(F.col(stratum_col).isin(*weights.keys()))
         .groupBy(F.col(stratum_col).alias("stratum"))
         .agg(F.count("*").alias("n_total"))
-        .withColumn("wt", wmap[F.col("stratum")])
+    )
+    counts = (
+        wrows.join(counts, "stratum", "left")
+        .withColumn("n_total", F.coalesce("n_total", F.lit(0).cast("long")))
     )
     feasible = counts.select(
         F.min(F.expr(f"(n_total * {wtotal}) div wt")).alias("t_total")
@@ -113,7 +121,16 @@ def mix_plan(
     return (
         counts.crossJoin(F.broadcast(feasible))
         .withColumn("n_target", F.expr(f"(wt * t_total) div {wtotal}"))
-        .withColumn("ppm", F.expr(f"(n_target * {PPM}) div n_total"))
+        # n_total = 0 only for a corpus-absent stratum (t_total is then
+        # 0 for every row); guard the division so ANSI mode doesn't
+        # throw on 0 div 0 — ppm 0 == sample nothing, same value the
+        # expression produces for every present stratum when t_total=0
+        .withColumn(
+            "ppm",
+            F.when(F.col("n_total") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(n_target * {PPM}) div n_total")
+            ),
+        )
         .select("stratum", "n_total", "n_target", "ppm")
     )
 

@@ -90,3 +90,23 @@ def test_cleanup_reaps_only_dead_pid_dirs(tmp_path, monkeypatch):
 def test_cleanup_missing_root_is_noop(monkeypatch):
     monkeypatch.setattr(S, "local_scratch_root", lambda: "/nonexistent/nowhere")
     assert S.cleanup_stale_scratch() == []
+
+
+def test_cleanup_keeps_dead_pid_dir_with_live_writer(tmp_path, monkeypatch):
+    """Orphan window: the Python driver died but its child JVM still
+    holds files open inside the driver-pid-named dir — the dir must
+    NOT be reaped until that writer exits."""
+    root = tmp_path / f"crusty-spark-local-{os.getuid()}"
+    root.mkdir()
+    dead = root / "999999998"
+    dead.mkdir()
+    held = dead / "shuffle_0_0_0.data"
+    monkeypatch.setattr(S, "local_scratch_root", lambda: str(root))
+    with open(held, "w") as fh:
+        fh.write("x")
+        # THIS process plays the surviving JVM: it holds the fd open
+        assert S.cleanup_stale_scratch() == []
+        assert dead.exists()
+    # writer gone: now eligible
+    assert S.cleanup_stale_scratch() == [str(dead)]
+    assert not dead.exists()

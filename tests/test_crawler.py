@@ -763,7 +763,13 @@ def test_compact_archives_sweeps_interrupted_leftovers(spark, tmp_path):
     ).parquet(os.path.join(adir, f"base-e{m:06d}"))
     # reads ignore the shadowed deltas (no double-counting)
     assert {tuple(r) for r in c._read_archive(name, c.epoch).collect()} == before
+    # a compaction that crashed DURING union.write leaves a tmp dir
+    # whose fold epoch need not match any later call's; the sweep must
+    # remove it unconditionally (it is never a commit point)
+    stale_tmp = os.path.join(adir, "_tmp-base-e000000")
+    os.makedirs(stale_tmp, exist_ok=True)
     c.compact_archives(keep_deltas=8)
+    assert not os.path.exists(stale_tmp)
     assert sorted(glob.glob(os.path.join(adir, "e*"))) == []
     assert {tuple(r) for r in c._read_archive(name, c.epoch).collect()} == before
 

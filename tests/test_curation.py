@@ -119,3 +119,21 @@ def test_assign_shards_balanced_and_stable(spark):
 
     by = Counter(shards.values())
     assert len(by) == 8 and max(by.values()) < 2 * min(by.values())
+
+
+def test_mix_plan_absent_stratum_forces_zero_total(spark):
+    # 'it' is weighted but absent from the corpus: the target ratios
+    # are infeasible, so the plan must say 'sample nothing' (t_total 0)
+    # instead of silently dropping the stratum from the min
+    plan = {
+        r.stratum: r
+        for r in C.mix_plan(
+            _docs(spark), "lang", {"en": 5, "de": 3, "fr": 2, "it": 1}
+        ).collect()
+    }
+    assert set(plan) == {"en", "de", "fr", "it"}
+    assert (plan["it"].n_total, plan["it"].n_target, plan["it"].ppm) == (0, 0, 0)
+    for r in plan.values():
+        assert r.n_target == 0 and r.ppm == 0
+    # and the sampled corpus is empty under the infeasible weights
+    assert C.mix_corpus(_docs(spark), "lang", {"en": 5, "de": 3, "fr": 2, "it": 1}).count() == 0
