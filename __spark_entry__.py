@@ -32,6 +32,75 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: hash-distribution key per table for _spread: a keyed repartition
+#: skips the local sort a round-robin repartition pays
+#: (sortBeforeRepartition — measured +0.8 s on the 600k-row lineitem),
+#: and when the key matches a downstream shuffle key (l_orderkey under
+#: q_page_budget's window) the exchange is REUSED instead of added.
+_SPREAD_KEYS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def _spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table and, when its file is smaller than one scan split,
+    spread it across the cluster's cores right after the read.
+
+    The small-SF fixture files are written as ONE parquet row group, so
+    the scan is ONE task no matter how many cores the session has (a
+    row group is the parquet split unit — maxPartitionBytes /
+    minPartitionNum cannot split it) and every downstream per-row
+    computation (md5 shingle hashing, token pipelines, pair scoring)
+    serializes onto a single core. This is the unsplittable-input skew
+    fix: repartition immediately after the read — measured 7.1 s ->
+    ~2.5 s for q_minhash_lsh at sf0.1 on 32 cores. Inputs of at least
+    one full split already scan in parallel and pass through untouched,
+    so the behaviour is scale-adaptive (no constant tuned to either
+    local mode or a cluster size).
+
+    ONLY for queries whose results are provably independent of row
+    partitioning/order: integer or min/max/count aggregations, and
+    row-local float math. Queries that ROUND a float sum/avg
+    (q_queue_rates, q_topk_decayed, q_ivf_kmeans) must keep the scan's
+    native single-partition accumulation order: a reordered partial
+    sum shifts the value by ulps, and a group whose true value sits on
+    a rounding boundary then flips its last digit against the oracle
+    (observed: q_queue_rates avg() at sf0.01 flipped 5 of 3385 groups
+    under a blanket repartition)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        nbytes = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    raw = raw.strip().lower()
+    mult = units.get(raw[-1], 1)
+    try:
+        max_split = int(raw.rstrip("kmgb")) * mult
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    if nbytes < max_split:
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, _SPREAD_KEYS[name]
+        )
+    return df
+
+
 def _h64(col):
     return X.h64(col)
 
@@ -216,7 +285,7 @@ def q_lease_expiry(spark, sf_dir):
 
 
 def q_page_budget(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
     # extend the sort key until deterministic so both engines agree
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
@@ -476,19 +545,19 @@ def q_set_union_distinct(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    return X.token_count(_t(spark, sf_dir, "documents"))
+    return X.token_count(_spread(spark, sf_dir, "documents"))
 
 
 def q_quality_score(spark, sf_dir):
-    return X.quality_score(_t(spark, sf_dir, "documents"))
+    return X.quality_score(_spread(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark, sf_dir):
-    return X.lang_id(_t(spark, sf_dir, "documents"))
+    return X.lang_id(_spread(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark, sf_dir):
-    return X.fingerprint(_t(spark, sf_dir, "documents"))
+    return X.fingerprint(_spread(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -496,15 +565,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return D.ngram_jaccard_pairs(_spread(spark, sf_dir, "documents"), threshold=0.3)
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return D.minhash_lsh_pairs(_spread(spark, sf_dir, "documents"), threshold=0.3)
 
 
 def q_simhash(spark, sf_dir):
-    return D.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    return D.simhash(_spread(spark, sf_dir, "documents"), bits=16)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -512,7 +581,7 @@ def q_dedup_clusters(spark, sf_dir):
     MinHash-LSH pair list via iterative min-label propagation) — the
     'keep one doc per duplicate group' step. Oracle: DuckDB recursive
     CTE computing min reachable id per node over the same pairs."""
-    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    pairs = D.minhash_lsh_pairs(_spread(spark, sf_dir, "documents"), threshold=0.3)
     return D.dedup_clusters(pairs)
 
 
@@ -522,7 +591,7 @@ def q_embed_neardup(spark, sf_dir):
     twin (x1.5, same sign bucket, cos exactly 1.0) for every 50th vector
     — both engines derive the twins identically — so the LSH-block +
     cosine-verify join is actually exercised."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     twins = e.filter(F.col("vec_id") % 50 == 0).select(
@@ -533,15 +602,15 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_mod=101, k=5)
+    return S.cosine_topk(_spread(spark, sf_dir, "embeddings"), query_mod=101, k=5)
 
 
 def q_lsh_topk(spark, sf_dir):
-    return S.lsh_topk(_t(spark, sf_dir, "embeddings"), query_mod=101, k=5, bits=8)
+    return S.lsh_topk(_spread(spark, sf_dir, "embeddings"), query_mod=101, k=5, bits=8)
 
 
 def q_ivf_topk(spark, sf_dir):
-    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_centroids=16, query_mod=101, k=5)
+    return S.ivf_topk(_spread(spark, sf_dir, "embeddings"), n_centroids=16, query_mod=101, k=5)
 
 
 def q_ivf_kmeans(spark, sf_dir):
@@ -665,7 +734,7 @@ def q_clean_corpus(spark, sf_dir):
     drop — the whole chain oracle-checked as one query."""
     from crusty_spark.training.pipeline import clean_corpus
 
-    return clean_corpus(_t(spark, sf_dir, "documents"))
+    return clean_corpus(_spread(spark, sf_dir, "documents"))
 
 
 def _image_caption_pairs(spark, sf_dir):
@@ -673,7 +742,7 @@ def _image_caption_pairs(spark, sf_dir):
     shape (image_id, w, h, fmt, caption): metadata hash-derived from
     doc_id, captions from documents.text with every ~10th replaced by a
     too-short caption so the substance gate provably bites."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
 
     def hp(tag, mod):
         return F.pmod(_h64(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), F.lit(mod))

@@ -278,16 +278,35 @@ def known_empty(df: DataFrame) -> bool:
     return bool(getattr(df, "_crusty_known_empty", False))
 
 
+# Constant-empty frames are memoized per live session: createDataFrame
+# is ~20 ms of py4j + RDD bookkeeping, and an epoch-driver calls these
+# every epoch — pure driver floor that scales with nothing (guide
+# §1.2 step 2: per-task — here per-epoch — constant work). A PLAN is
+# cached, never data: the frame is immutable and empty by construction.
+import weakref
+
+_EMPTY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _empty_cached(spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
+    per = _EMPTY_CACHE.setdefault(spark, {})
+    df = per.get(name)
+    if df is None:
+        df = _mark_known_empty(spark.createDataFrame([], schema))
+        per[name] = df
+    return df
+
+
 def empty_frontier(spark: SparkSession) -> DataFrame:
-    return _mark_known_empty(spark.createDataFrame([], FRONTIER_SCHEMA))
+    return _empty_cached(spark, "frontier", FRONTIER_SCHEMA)
 
 
 def empty_leases(spark: SparkSession) -> DataFrame:
-    return _mark_known_empty(spark.createDataFrame([], LEASES_SCHEMA))
+    return _empty_cached(spark, "leases", LEASES_SCHEMA)
 
 
 def empty_job_state(spark: SparkSession) -> DataFrame:
-    return _mark_known_empty(spark.createDataFrame([], JOB_STATE_SCHEMA))
+    return _empty_cached(spark, "job_state", JOB_STATE_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -377,12 +396,17 @@ def dequeue(
        (SPOP replacement, deterministic — SURVEY §2.6 O3)
     5. O2: per-shard dequeue_limit (lib.rs:112-118)
     """
+    # NOTE on style: the hot-path builders below use parsed SQL strings
+    # (filter("..."), selectExpr, F.expr) instead of Column algebra —
+    # each Column operator is one py4j round trip and an epoch driver
+    # rebuilds this plan every epoch; one parsed string is one round
+    # trip for the whole expression (measured: ~0.5 s/epoch of pure
+    # driver time at any core count — a non-scaling floor, guide §1.2).
+    # The parsed plans are identical to the Column forms.
     leases_empty = known_empty(leases)
     job_state_empty = known_empty(job_state)
-    live_leases = leases.filter(
-        F.col("lease_epoch") + F.col("ttl_epochs") > F.lit(epoch)
-    )
-    queued = frontier.filter((F.col("state") == "queued") & ~F.col("blocked"))
+    live_leases = leases.filter(f"lease_epoch + ttl_epochs > {int(epoch)}")
+    queued = frontier.filter("state = 'queued' AND NOT blocked")
     if not cfg.scope_is_full():
         # scoped shards (default.yaml:35-43, crusty.rs:550-560): this
         # engine instance only schedules its shard range; on a
@@ -401,7 +425,7 @@ def dequeue(
     # aggregation needs NO exchange: hash-partitioning on `domain` is a
     # subset of the grouping keys.
     domains = queued.groupBy("shard", "addr_key", "domain").agg(
-        F.min("depth").alias("min_depth")
+        F.expr("min(depth) AS min_depth")
     )
     # J2 + finished in ONE domain-keyed anti-join (big side stays on the
     # frontier's domain partitioning — only the small exclusion list
@@ -441,22 +465,18 @@ def dequeue(
     # evenly than addr_key (shards are uniform by construction; a hot
     # /24 skews an addr_key partition), and shard, being a group key,
     # no longer rides the argmin struct.
-    cand = F.struct(
-        F.col("min_depth").alias("p"), F.col("domain").alias("domain"),
-    )
     phase1 = (
-        domains.withColumn(
-            "salt", F.pmod(F.xxhash64("domain"), F.lit(cfg.salt_buckets))
+        domains.selectExpr(
+            "*", f"pmod(xxhash64(domain), {int(cfg.salt_buckets)}) AS salt"
         )
         .repartition("shard")
         .groupBy("shard", "addr_key", "salt")
-        .agg(F.min(cand).alias("cand"))
+        .agg(F.expr("min(struct(min_depth AS p, domain AS domain)) AS cand"))
     )
-    picked = phase1.groupBy("shard", "addr_key").agg(F.min("cand").alias("cand")).select(
-        "shard",
-        "addr_key",
-        F.col("cand.domain").alias("domain"),
-        F.col("cand.p").alias("min_depth"),
+    picked = (
+        phase1.groupBy("shard", "addr_key")
+        .agg(F.expr("min(cand) AS cand"))
+        .selectExpr("shard", "addr_key", "cand.domain AS domain", "cand.p AS min_depth")
     )
     if not leases_empty:
         picked = picked.join(
@@ -465,17 +485,17 @@ def dequeue(
 
     # per-shard limit (deterministic rank by (min_depth, domain));
     # shard count is fixed and balanced so this window doesn't skew
-    ranked = picked.withColumn(
-        "rk",
-        F.row_number().over(Window.partitionBy("shard").orderBy("min_depth", "domain")),
-    ).filter(F.col("rk") <= cfg.dequeue_limit)
+    ranked = picked.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY shard ORDER BY min_depth, domain) AS rk",
+    ).filter(f"rk <= {int(cfg.dequeue_limit)}")
 
-    return ranked.select(
+    return ranked.selectExpr(
         "addr_key",
         "domain",
         "shard",
-        F.lit(epoch).cast("int").alias("lease_epoch"),
-        F.lit(cfg.lease_ttl_epochs).cast("int").alias("ttl_epochs"),
+        f"cast({int(epoch)} AS int) AS lease_epoch",
+        f"cast({int(cfg.lease_ttl_epochs)} AS int) AS ttl_epochs",
     )
 
 
@@ -565,17 +585,16 @@ def select_fetch_tasks(
     Spark plan a WindowGroupLimit: each partition keeps at most
     `concurrency` rows per domain DURING the sort instead of fully
     sorting every queued URL."""
-    cands = frontier.filter((F.col("state") == "queued") & ~F.col("blocked")).join(
-        allow.filter(F.col("allowed") > 0).select("domain", "allowed").hint("shuffle_hash"),
+    cands = frontier.filter("state = 'queued' AND NOT blocked").join(
+        allow.filter("allowed > 0").select("domain", "allowed").hint("shuffle_hash"),
         "domain",
     )
-    w = Window.partitionBy("domain").orderBy("depth", "url_hash")
     return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(
-            (F.col("rn") <= F.lit(int(cfg.domain_concurrency)))
-            & (F.col("rn") <= F.col("allowed"))
+        cands.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY domain ORDER BY depth, url_hash) AS rn",
         )
+        .filter(f"rn <= {int(cfg.domain_concurrency)} AND rn <= allowed")
         .drop("rn", "allowed")
     )
 
