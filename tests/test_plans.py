@@ -220,3 +220,18 @@ def test_dequeue_has_no_python_stage(spark):
     cfg = CrawlConfig(shard_total=4)
     plan = _plan(dequeue(empty_frontier(spark), empty_leases(spark), empty_job_state(spark), 1, cfg), "simple")
     assert "EvalPython" not in plan
+
+
+def test_scan_spread_applied_only_where_order_safe(spark):
+    """The single-row-group scan spread (guide 2.5 unsplittable-input
+    fix): order-safe heavy queries repartition their sub-split-size
+    input right after the read, while queries that round a float
+    sum/avg keep the scan's native accumulation order (a reordered
+    partial sum flips rounding-boundary groups against the oracle)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.1"
+    spread = _plan(E.q_fingerprint(spark, sf))
+    assert "REPARTITION_BY_NUM" in spread and "hashpartitioning(doc_id" in spread
+    for q in (E.q_queue_rates, E.q_topk_decayed, E.q_ivf_kmeans):
+        assert "REPARTITION_BY_NUM" not in _plan(q(spark, sf))
